@@ -1,0 +1,245 @@
+"""Attention ops: Pallas TPU flash attention + XLA reference.
+
+The reference stack uses torch SDPA / flash-attn in four places (SAM
+sam_vary_sdpa.py:240-296, CLIP clip_sdpa.py:188-230, VAT blocks via
+nn.MultiheadAttention vat_blocks.py:7-47, and the HF Qwen decoder). Here one
+fused kernel serves all of them.
+
+Design:
+- `attention(q, k, v, ...)` dispatches: Pallas flash kernel on TPU (with
+  automatic head-dim / sequence padding to lane multiples), pure-XLA
+  `attention_reference` otherwise — the reference path is also the numeric
+  oracle in tests.
+- fp32 online-softmax accumulation regardless of input dtype (bf16 inputs).
+- Masking model: `causal` flag + optional per-batch `kv_len` (right-padded
+  keys). This covers every use in the stack: encoder attention (no mask),
+  LLM training (causal + padded keys), KV-cache decode (kv_len = cache fill).
+- GQA (num_q_heads > num_kv_heads) handled in the kernel's index maps —
+  KV is never materialized per-query-head.
+- Flash kernel pattern: 4D grid (batch, head, q_tile, kv_tile) with the KV
+  dimension sequential ("arbitrary") and the online-softmax state carried in
+  VMEM scratch across kv steps, so KV streams through VMEM block by block
+  (full rows of 32k BEV tokens would not fit the ~16 MB VMEM budget).
+
+Shapes: q [B, Hq, Sq, D], k/v [B, Hkv, Sk, D] -> out [B, Hq, Sq, D].
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_LANE = 128
+
+
+def _repeat_kv(k: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return k
+    b, h, s, d = k.shape
+    return jnp.broadcast_to(k[:, :, None], (b, h, n_rep, s, d)).reshape(
+        b, h * n_rep, s, d)
+
+
+def attention_reference(q, k, v, *, causal: bool = False,
+                        kv_len: Optional[jax.Array] = None,
+                        bias: Optional[jax.Array] = None,
+                        scale: Optional[float] = None) -> jax.Array:
+    """Pure-XLA attention; numeric oracle and CPU fallback."""
+    orig_dtype = q.dtype
+    n_rep = q.shape[1] // k.shape[1]
+    k, v = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    sq, sk = q.shape[2], k.shape[2]
+    if causal:
+        qi = jnp.arange(sq)[:, None] + (sk - sq)
+        ki = jnp.arange(sk)[None, :]
+        logits = jnp.where(ki <= qi, logits, _NEG_INF)
+    if kv_len is not None:
+        ki = jnp.arange(sk)[None, None, None, :]
+        logits = jnp.where(ki < kv_len[:, None, None, None], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
+    return out.astype(orig_dtype)
+
+
+# ----------------------------------------------------------------------------
+# Pallas flash attention (forward).
+# ----------------------------------------------------------------------------
+
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *,
+                  causal: bool, scale: float, sq: int, sk: int,
+                  use_kvlen: bool):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    bk = k_ref.shape[2]
+    b_idx, qi, ki = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    num_kv = pl.num_programs(3)
+    q_start, k_start = qi * bq, ki * bk
+    offset = sk - sq  # causal alignment when sq != sk (e.g. chunked prefill)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    limit = kvlen_ref[b_idx] if use_kvlen else sk
+    if causal:
+        limit = jnp.minimum(limit, q_start + bq + offset)
+
+    @pl.when(k_start < limit)
+    def _update():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        kb = k_ref[0, 0].astype(jnp.float32)
+        vb = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        kv_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        if causal:
+            q_ids = q_start + offset + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0)
+            s = jnp.where(kv_ids <= q_ids, s, _NEG_INF)
+        if use_kvlen:
+            s = jnp.where(kv_ids < kvlen_ref[b_idx], s, _NEG_INF)
+
+        m_prev = m_ref[:, 0]
+        l_prev = l_ref[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+        acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, 0], 1e-30)
+        o_ref[0, 0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "causal", "scale", "block_q", "block_k", "interpret"))
+def _flash_attention_tpu(q, k, v, kv_len, *, causal: bool, scale: float,
+                         block_q: int, block_k: int,
+                         interpret: bool = False):
+    b, hq, sq, d = q.shape
+    hkv, sk = k.shape[1], k.shape[2]
+    n_rep = hq // hkv
+    use_kvlen = kv_len is not None
+    if kv_len is None:
+        kv_len = jnp.full((b,), sk, jnp.int32)
+
+    grid = (b, hq, sq // block_q, sk // block_k)
+    kernel = functools.partial(
+        _flash_kernel, causal=causal, scale=scale, sq=sq, sk=sk,
+        use_kvlen=use_kvlen)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h, i, j, kvl: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h, i, j, kvl: (b_, h // n_rep, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h, i, j, kvl: (b_, h // n_rep, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h, i, j, kvl: (b_, h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(kv_len.astype(jnp.int32), q, k, v)
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    kv_len: Optional[jax.Array] = None,
+                    scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jax.Array:
+    """Flash attention with automatic padding to TPU tile multiples.
+
+    Pads head dim to a lane multiple (zero K/Q columns contribute nothing to
+    logits; extra V columns are sliced off) and sequences to block multiples
+    (padded queries discarded, padded keys masked via kv_len).
+    """
+    b, hq, sq, d = q.shape
+    sk = k.shape[2]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    d_p = max(_pad_to(d, _LANE), _LANE) if d > 64 else 64
+    block_q = min(block_q, _pad_to(sq, 8))
+    block_k = min(block_k, _pad_to(sk, _LANE))
+    sq_p, sk_p = _pad_to(sq, block_q), _pad_to(sk, block_k)
+
+    if sk_p != sk and kv_len is None:
+        kv_len = jnp.full((b,), sk, jnp.int32)
+    pad = lambda x, s_p, d_p: jnp.pad(
+        x, ((0, 0), (0, 0), (0, s_p - x.shape[2]), (0, d_p - x.shape[3])))
+    qp, kp, vp = pad(q, sq_p, d_p), pad(k, sk_p, d_p), pad(v, sk_p, d_p)
+
+    out = _flash_attention_tpu(qp, kp, vp, kv_len, causal=causal,
+                               scale=scale, block_q=block_q, block_k=block_k,
+                               interpret=interpret)
+    return out[:, :, :sq, :d]
+
+
+def attention(q, k, v, *, causal: bool = False,
+              kv_len: Optional[jax.Array] = None,
+              bias: Optional[jax.Array] = None,
+              scale: Optional[float] = None,
+              force_reference: bool = False,
+              interpret: bool = False) -> jax.Array:
+    """Fused multi-head attention. See module docstring for semantics."""
+    use_pallas = (not force_reference and bias is None
+                  and (interpret or jax.default_backend() == "tpu")
+                  and k.shape[2] >= 128
+                  # causal chunked-prefill (sq != sk) keeps offsets through
+                  # padding only in the reference path
+                  and (not causal or q.shape[2] == k.shape[2]))
+    if not use_pallas:
+        return attention_reference(q, k, v, causal=causal, kv_len=kv_len,
+                                   bias=bias, scale=scale)
+    return flash_attention(q, k, v, causal=causal, kv_len=kv_len,
+                           scale=scale, interpret=interpret)
+
+
+def decode_attention(q, k_cache, v_cache, cache_len, *, scale=None):
+    """Single-token KV-cache attention for autoregressive decode.
+
+    q [B, Hq, 1, D]; caches [B, Hkv, Smax, D]; cache_len [B] = filled length
+    (the new token's k/v already written). Bandwidth-bound over the cache;
+    plain XLA reaches speed-of-light here, no Pallas needed.
+    """
+    return attention_reference(q, k_cache, v_cache, kv_len=cache_len,
+                               scale=scale)
