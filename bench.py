@@ -1,0 +1,95 @@
+"""Benchmark: end-to-end VQA inference frames/sec on one TPU chip.
+
+Measures the north-star metric (BASELINE.json: "VQA frames/sec/chip
+end-to-end; p50 latency LiDAR+image->answer"): one nuScenes frame = 6
+camera views (1024x1024) + one precomputed BEV grid [128,180,180] + a
+question, greedy-decoding `NEW_TOKENS` answer tokens with the full flagship
+stack (SAM-B -> CLIP-L -> projector -> adapter -> VATVision; VATLiDAR; Qwen
+2.5-0.5B prefill + KV-cached decode) in bfloat16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` compares against the reference PyTorch pipeline's measured
+CPU throughput (benchmarks/reference_cpu.py writes
+benchmarks/reference_cpu.json); the reference publishes no numbers
+(SURVEY.md §6), so until that measurement exists vs_baseline falls back to
+REFERENCE_CPU_FPS_FALLBACK (a conservative upper bound for torch-CPU on
+this stack).
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+NEW_TOKENS = 32
+WARMUP = 2
+ITERS = 5
+# Conservative fallback: reference torch pipeline on CPU is < 0.1 frame/s
+# (SAM-B + CLIP-L on 6 MP-scale views alone is >200 GFLOP/frame).
+REFERENCE_CPU_FPS_FALLBACK = 0.1
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.config import default_config
+    from lvv_tpu.models import VQAModel, greedy_generate
+
+    cfg = default_config()
+    model = VQAModel(cfg.model, dtype=jnp.bfloat16)
+
+    b, t = 1, 24
+    c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
+    s = cfg.model.sam.img_size
+    rng = np.random.default_rng(0)
+    bev = jnp.asarray(rng.normal(size=(b, c, h, w)).astype(np.float32))
+    images = jnp.asarray(rng.uniform(-1, 1, (b, 6, 3, s, s))
+                         .astype(np.float32))
+    view_valid = jnp.ones((b, 6), bool)
+    prompt = jnp.asarray(rng.integers(0, 1000, (b, t)), jnp.int32)
+    plen = jnp.full((b,), t, jnp.int32)
+
+    from lvv_tpu.models import VQABatch
+    init_batch = VQABatch(bev=bev, images=images, view_valid=view_valid,
+                          text_ids=prompt, text_len=plen,
+                          labels=jnp.full_like(prompt, -100),
+                          use_vision=jnp.asarray(True),
+                          use_lidar=jnp.asarray(True))
+    params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
+
+    def run():
+        toks, lens = greedy_generate(
+            model, params, bev, images, view_valid, prompt, plen,
+            max_new_tokens=NEW_TOKENS, eos_id=2)
+        jax.block_until_ready(toks)
+        return toks
+
+    for _ in range(WARMUP):
+        run()
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    fps = b / p50
+
+    ref_path = pathlib.Path(__file__).parent / "benchmarks" / \
+        "reference_cpu.json"
+    ref_fps = REFERENCE_CPU_FPS_FALLBACK
+    if ref_path.exists():
+        ref_fps = json.loads(ref_path.read_text()).get(
+            "fps", REFERENCE_CPU_FPS_FALLBACK)
+
+    print(json.dumps({
+        "metric": "vqa_e2e_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ref_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

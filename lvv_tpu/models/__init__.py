@@ -1,0 +1,15 @@
+"""Model stack: SAM+CLIP DeepEncoder, VAT compressors, Qwen decoder, and the
+end-to-end VQA assembly (SURVEY.md §2.1/§2.2 inventory)."""
+from .clip import CLIPVisionTower
+from .deepencoder import (CAM_VIEWS, FIXED_GRID_SIDE, FIXED_IMAGE_SIZE,
+                          DeepEncoder, build_deepencoder)
+from .layers import (MLP, Dense, LayerNorm, MultiHeadAttention, RMSNorm,
+                     quick_gelu)
+from .projector import MlpProjector, projector_flops_per_sample
+from .qwen import (KVCache, QwenModel, cross_entropy_loss, init_cache)
+from .sam import SAMImageEncoder
+from .vat import NUM_VIEWS, VATBlock, VATLiDAR, VATVision, VisionAdapter
+from .voxelnext import (Detections, VoxelNeXtBackbone, VoxelNeXtDetector,
+                        VoxelNeXtHead, decode_detections)
+from .voxelnext_loss import assign_targets, voxelnext_loss
+from .vqa import VQABatch, VQAModel, greedy_generate, sam_grid_side

@@ -1,0 +1,39 @@
+"""Detector registry + builder.
+
+Re-design of the reference's registry pattern (pcdet's public interface:
+detectors/__init__.py:19-38 `__all__` dict + build_detector; model topology
+assembled by Detector3DTemplate.build_networks from YAML). Here a detector
+is a flax module built from the typed config; new families register with a
+decorator.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+DETECTORS: Dict[str, Callable] = {}
+
+
+def register_detector(name: str):
+    def deco(fn):
+        DETECTORS[name] = fn
+        return fn
+    return deco
+
+
+@register_detector("VoxelNeXt")
+def _build_voxelnext(det_cfg, vox_cfg):
+    from .voxelnext import VoxelNeXtDetector
+    return VoxelNeXtDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
+@register_detector("PointPillars")
+def _build_pointpillars(det_cfg, vox_cfg):
+    from .pointpillars import PointPillarsDetector
+    return PointPillarsDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
+def build_detector(name: str, det_cfg, vox_cfg):
+    if name not in DETECTORS:
+        raise KeyError(f"unknown detector {name!r}; "
+                       f"registered: {sorted(DETECTORS)}")
+    return DETECTORS[name](det_cfg, vox_cfg)

@@ -1,0 +1,213 @@
+"""SAM ViT-B image tower with the VARY compression head.
+
+Re-design of the reference's "vision_tower_high"
+(src/deepencoder/sam_vary_sdpa.py:100-186 ImageEncoderViT, :240-296
+Attention with decomposed relative position bias, :299-345 window
+partition/unpartition, :348-413 rel-pos helpers, :441-511 builder): a
+1024x1024 image -> 16x16-patch ViT (windowed attention, window 14; global
+attention at layers {2,5,8,11}) -> conv neck to 256ch -> VARY head `net_2`
+(256->512, stride 2) + `net_3` (512->1024, stride 2) -> [B, 1024, 16, 16].
+
+TPU-first notes:
+- everything is NHWC (TPU conv layout); the public API still speaks NCHW at
+  the DeepEncoder boundary for reference parity.
+- window partition is reshape/transpose (compile-time shapes; the 64x64
+  token grid pads to 70x70 = 5x5 windows of 14).
+- the decomposed rel-pos bias is computed as an attention bias tensor and
+  fed through ops.attention (bias path). The bias depends only on (q, rel
+  tables), so XLA fuses its einsums into the attention matmul chain.
+- all 6 camera views batch through one jit call (the reference loops views
+  in Python, trainer.py:527-556 — its biggest CPU bottleneck).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import attention
+from .layers import MLP, Dense, LayerNorm
+
+
+def resize_rel_pos(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
+    """Interpolate a [L, head_dim] rel-pos table to 2*max(q,k)-1 entries
+    (reference sam_vary_sdpa.py get_rel_pos :348-370)."""
+    max_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_dist, rel_pos.shape[1]), method="linear")
+    # relative coordinates of each q to each k
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]
+
+
+def decomposed_rel_pos_bias(q: jax.Array, rel_h: jax.Array, rel_w: jax.Array,
+                            hw: Tuple[int, int]) -> jax.Array:
+    """[B*, nH, H*W, dim] q + rel tables -> additive bias [B*, nH, HW, HW]
+    (reference add_decomposed_rel_pos :373-413)."""
+    h, w = hw
+    bsz, n_heads, _, dim = q.shape
+    rh = resize_rel_pos(rel_h, h, h)    # [h, h, dim]
+    rw = resize_rel_pos(rel_w, w, w)    # [w, w, dim]
+    qr = q.reshape(bsz, n_heads, h, w, dim)
+    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh)
+    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw)
+    bias = bias_h[..., :, None] + bias_w[..., None, :]
+    return bias.reshape(bsz, n_heads, h * w, h * w)
+
+
+def window_partition(x: jax.Array, window: int):
+    """[B, H, W, C] -> [B*nW, win, win, C] with bottom/right padding
+    (reference window_partition :299-320)."""
+    b, h, w, c = x.shape
+    ph, pw = (-h) % window, (-w) % window
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = h + ph, w + pw
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(x: jax.Array, window: int, padded_hw, hw):
+    """Inverse of window_partition (reference :323-345)."""
+    hp, wp = padded_hw
+    h, w = hw
+    b = x.shape[0] // ((hp // window) * (wp // window))
+    x = x.reshape(b, hp // window, wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+class SAMAttention(nn.Module):
+    """ViT attention with optional decomposed rel-pos bias
+    (reference sam_vary_sdpa.py:240-296)."""
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: Tuple[int, int] = (14, 14)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(
+            x.reshape(b, h * w, c))
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        bias = None
+        if self.use_rel_pos:
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.input_size[0] - 1, head_dim))
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.input_size[1] - 1, head_dim))
+            # original SAM adds q·R with UNSCALED q (the 1/sqrt(d) factor
+            # applies only to the q·k term, which attention() handles)
+            bias = decomposed_rel_pos_bias(
+                q.astype(jnp.float32), rel_h.astype(jnp.float32),
+                rel_w.astype(jnp.float32), (h, w))
+        out = attention(q, k, v, bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = Dense(c, dtype=self.dtype, name="proj")(out)
+        return out.reshape(b, h, w, c)
+
+
+class SAMBlock(nn.Module):
+    """ViT block with optional window attention (reference Block :205-237)."""
+    num_heads: int
+    window_size: int = 14
+    mlp_ratio: float = 4.0
+    use_rel_pos: bool = True
+    input_size: Tuple[int, int] = (64, 64)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        y = LayerNorm(eps=1e-6, name="ln1")(x)
+        if self.window_size > 0:
+            hw = y.shape[1:3]
+            y, padded = window_partition(y, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        else:
+            attn_size = self.input_size
+        y = SAMAttention(self.num_heads, self.use_rel_pos, attn_size,
+                         dtype=self.dtype, name="attn")(y)
+        if self.window_size > 0:
+            y = window_unpartition(y, self.window_size, padded, hw)
+        x = shortcut + y
+        x = x + MLP(int(x.shape[-1] * self.mlp_ratio), act=nn.gelu,
+                    dtype=self.dtype, name="mlp")(
+            LayerNorm(eps=1e-6, name="ln2")(x))
+        return x
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm on NHWC maps (reference LayerNorm2d in the neck)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x = x.astype(jnp.float32)
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        w = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (y * w + b).astype(orig)
+
+
+class SAMImageEncoder(nn.Module):
+    """ImageEncoderViT + neck + VARY net_2/net_3
+    (reference sam_vary_sdpa.py:100-186)."""
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
+    use_rel_pos: bool = True
+    vary_dims: Sequence[int] = (512, 1024)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_nchw):
+        """[B, 3, S, S] in [-1, 1] -> [B, vary_dims[-1], S/64, S/64]."""
+        x = jnp.transpose(x_nchw, (0, 2, 3, 1)).astype(self.dtype)
+        grid = self.img_size // self.patch_size
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=self.patch_size, padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, grid, grid, self.embed_dim))
+        x = x + pos.astype(self.dtype)
+
+        for i in range(self.depth):
+            ws = 0 if i in self.global_attn_indexes else self.window_size
+            x = SAMBlock(self.num_heads, window_size=ws,
+                         mlp_ratio=self.mlp_ratio,
+                         use_rel_pos=self.use_rel_pos,
+                         input_size=(grid, grid), dtype=self.dtype,
+                         name=f"block_{i}")(x)
+
+        # neck (frozen in the reference; trainable flags live in the optimizer)
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="neck_conv2")(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+
+        # VARY compression head (trainable; reference :171-172 net_2/net_3)
+        x = nn.Conv(self.vary_dims[0], (3, 3), strides=2, padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="net_2")(x)
+        x = nn.Conv(self.vary_dims[1], (3, 3), strides=2, padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="net_3")(x)
+        return jnp.transpose(x, (0, 3, 1, 2))  # NCHW at the boundary

@@ -1,0 +1,249 @@
+"""VoxelNeXt — fully-sparse BEV detector on the TPU sparse-conv ops.
+
+Re-design of the reference's VoxelNeXt stack:
+- backbone `VoxelResBackBone8xVoxelNeXt`
+  (src/lidar-encoder/pcdet/models/backbones_3d/spconv_backbone_voxelnext.py:
+  69-225): 6 sparse stages with strides to 32x, stage-5/6 features
+  re-indexed x2/x4 onto the stride-8 grid and folded in (:194-197), a
+  z-collapse to BEV (:149-164) and a sparse 2D output block -> the
+  `encoded_spconv_tensor` at stride 8 whose dense form is the [128,180,180]
+  BEV map consumed by the VQA stack (SURVEY.md §1 L2->L4 contract);
+- head `VoxelNeXtHead` (voxelnext_head.py:50-559): sparse 2D conv branches
+  (hm / center / center_z / dim / rot / vel / iou), sparse gaussian focal
+  targets, and the NMS decode (:418-489);
+- detector assembly `VoxelNeXt` (detectors/voxelnext.py:8-21) over MeanVFE.
+
+TPU-first: fixed voxel capacities per stage; BatchNorm is replaced by
+LayerNorm over channel dims (sparse BN's running stats over ragged active
+sets don't map to static-shape TPU training; LN is its shape-stable,
+per-site equivalent — the reference checkpoint is absent from the mirror
+(.MISSING_LARGE_BLOBS:1) so weight-level parity is impossible anyway).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config.schema import VoxelNeXtConfig, VoxelizeConfig
+from ..ops.boxes import limit_period
+from ..ops.nms import nms
+from ..ops.sparse import (SENTINEL, SparseTensor, bev_collapse, delinearize,
+                          from_voxels, merge_add, reindex_upscale,
+                          sparse_conv, submanifold_conv, to_dense)
+from ..ops.voxelize import VoxelGrid, voxelize_mean
+
+
+class SparseConvLayer(nn.Module):
+    """conv + LN + ReLU on a SparseTensor."""
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    subm: bool = True
+    ndim2d: bool = False
+    out_capacity: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        k = self.kernel ** (2 if self.ndim2d else 3)
+        cin = st.features.shape[-1]
+        w = self.param("kernel", nn.initializers.he_normal(
+            in_axis=(0, 1), out_axis=2), (k, cin, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        if self.subm:
+            out = submanifold_conv(st, w, b, kernel=self.kernel,
+                                   ndim2d=self.ndim2d)
+        else:
+            out = sparse_conv(st, w, b, kernel=self.kernel,
+                              stride=self.stride, padding=1,
+                              out_capacity=self.out_capacity,
+                              ndim2d=self.ndim2d)
+        scale = self.param("ln_scale", nn.initializers.ones, (self.out_ch,))
+        bias = self.param("ln_bias", nn.initializers.zeros, (self.out_ch,))
+        f = out.features.astype(jnp.float32)
+        mean = f.mean(-1, keepdims=True)
+        var = f.var(-1, keepdims=True)
+        f = (f - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        f = nn.relu(f)
+        f = jnp.where(out.valid[:, None], f, 0.0).astype(out.features.dtype)
+        return SparseTensor(out.ids, f, out.grid)
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual pair of submanifold convs (reference SparseBasicBlock)."""
+    ch: int
+    ndim2d: bool = False
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        y = SparseConvLayer(self.ch, ndim2d=self.ndim2d, name="conv1")(st)
+        y = SparseConvLayer(self.ch, ndim2d=self.ndim2d, name="conv2")(y)
+        f = st.features + y.features
+        return SparseTensor(st.ids, f, st.grid)
+
+
+class VoxelNeXtBackbone(nn.Module):
+    """6-stage sparse backbone -> stride-8 sparse BEV tensor."""
+    cfg: VoxelNeXtConfig
+    grid: Tuple[int, int, int]        # input voxel grid (nx, ny, nz)
+    capacity: int                     # stage-1 voxel capacity
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        chs = self.cfg.channels
+        cap = self.capacity
+        st = SparseConvLayer(chs[0], name="conv_input")(st)
+        st = SparseBasicBlock(chs[0], name="res1")(st)
+
+        stages = []
+        for i, ch in enumerate(chs[1:], start=1):
+            cap = max(cap * 3 // 4, 1024)
+            st = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
+                                 name=f"down{i}")(st)
+            st = SparseBasicBlock(ch, name=f"res{i + 1}")(st)
+            stages.append(st)
+
+        # fold stage-5 (stride 16) and stage-6 (stride 32) onto the stride-8
+        # grid (reference :194-197)
+        s4, s5, s6 = stages[2], stages[3], stages[4]
+        tgt = s4.grid
+        up5 = reindex_upscale(s5, 2, tgt)
+        up6 = reindex_upscale(s6, 4, tgt)
+        merged = merge_add(merge_add(s4, up5, capacity=s4.ids.shape[0]),
+                           up6, capacity=s4.ids.shape[0])
+
+        bev = bev_collapse(merged, bev_capacity=merged.ids.shape[0])
+        bev = SparseConvLayer(self.cfg.out_channels, ndim2d=True,
+                              name="conv_out")(bev)
+        bev = SparseConvLayer(self.cfg.out_channels, ndim2d=True,
+                              name="shared_conv")(bev)
+        return bev
+
+
+class VoxelNeXtHead(nn.Module):
+    """Sparse center-based head + decode (reference voxelnext_head.py)."""
+    cfg: VoxelNeXtConfig
+
+    @nn.compact
+    def __call__(self, bev: SparseTensor) -> Dict[str, SparseTensor]:
+        def branch(name: str, out_ch: int) -> SparseTensor:
+            st = SparseConvLayer(self.cfg.out_channels, ndim2d=True,
+                                 name=f"{name}_conv")(bev)
+            k = 3 * 3
+            cin = st.features.shape[-1]
+            w = self.param(f"{name}_head_kernel",
+                           nn.initializers.normal(0.01), (k, cin, out_ch))
+            b = self.param(f"{name}_head_bias",
+                           nn.initializers.constant(
+                               -4.6 if name == "hm" else 0.0), (out_ch,))
+            return submanifold_conv(st, w, b, ndim2d=True)
+
+        return {
+            "hm": branch("hm", self.cfg.num_classes),
+            "center": branch("center", 2),
+            "center_z": branch("center_z", 1),
+            "dim": branch("dim", 3),
+            "rot": branch("rot", 2),
+            "vel": branch("vel", 2),
+            "iou": branch("iou", 1),
+        }
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array     # [K, 9] x,y,z,dx,dy,dz,heading,vx,vy
+    scores: jax.Array    # [K]
+    labels: jax.Array    # [K] int32
+    count: jax.Array     # []
+
+
+def decode_detections(preds: Dict[str, SparseTensor],
+                      det_cfg: VoxelNeXtConfig, vox_cfg: VoxelizeConfig,
+                      stride: int) -> Detections:
+    """Sparse decode + class-agnostic NMS (reference
+    decode_bbox_from_voxels_nuscenes + :418-489). All fixed-shape."""
+    hm = preds["hm"]
+    scores_all = jax.nn.sigmoid(hm.features.astype(jnp.float32))  # [V, C]
+    scores_all = jnp.where(hm.valid[:, None], scores_all, 0.0)
+    v, c = scores_all.shape
+    flat = scores_all.reshape(-1)
+    k = min(det_cfg.nms_pre_max, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    site = top_idx // c
+    label = (top_idx % c).astype(jnp.int32)
+
+    coords = delinearize(hm.ids, hm.grid)       # (z=0, y, x)
+    ys = coords[site, 1].astype(jnp.float32)
+    xs = coords[site, 2].astype(jnp.float32)
+    g = lambda name: preds[name].features[site].astype(jnp.float32)
+    center, center_z = g("center"), g("center_z")
+    dim = jnp.exp(jnp.clip(g("dim"), -5, 5))
+    rot = g("rot")
+    vel = g("vel")
+    iou_pred = jnp.clip(g("iou")[:, 0], -1, 1)
+
+    vx, vy = vox_cfg.voxel_size[0], vox_cfg.voxel_size[1]
+    x0, y0 = vox_cfg.point_range[0], vox_cfg.point_range[1]
+    x = (xs + center[:, 0]) * stride * vx + x0
+    y = (ys + center[:, 1]) * stride * vy + y0
+    z = center_z[:, 0]
+    heading = jnp.arctan2(rot[:, 0], rot[:, 1])
+    heading = limit_period(heading, offset=0.5, period=2 * np.pi)
+
+    boxes = jnp.stack([x, y, z, dim[:, 0], dim[:, 1], dim[:, 2], heading,
+                       vel[:, 0], vel[:, 1]], axis=1)
+    # IoU-rectified score (reference rectifier: score^(1-a) * iou^a)
+    alpha = 0.68
+    score = top_scores ** (1 - alpha) * ((iou_pred + 1) * 0.5) ** alpha
+    valid = top_scores > det_cfg.score_thresh
+
+    keep_idx, count, keep_scores = nms(
+        boxes, score, iou_thresh=det_cfg.nms_iou_thresh,
+        pre_max=k, post_max=det_cfg.nms_post_max, valid=valid)
+    safe = jnp.maximum(keep_idx, 0)
+    return Detections(boxes=boxes[safe],
+                      scores=jnp.where(keep_idx >= 0, keep_scores, 0.0),
+                      labels=jnp.where(keep_idx >= 0, label[safe], -1),
+                      count=count)
+
+
+class VoxelNeXtDetector(nn.Module):
+    """points -> (BEV features for the VQA bridge, detections).
+
+    Mirrors the reference topology MeanVFE -> backbone -> head
+    (detectors/voxelnext.py:8-21) with voxelization fused in
+    (the reference voxelizes on host in the dataloader).
+    """
+    det_cfg: VoxelNeXtConfig
+    vox_cfg: VoxelizeConfig
+
+    def voxel_grid(self) -> VoxelGrid:
+        return VoxelGrid.create(self.vox_cfg.point_range,
+                                self.vox_cfg.voxel_size)
+
+    @nn.compact
+    def __call__(self, points: jax.Array, num_points: jax.Array,
+                 return_dense_bev: bool = True):
+        grid = self.voxel_grid()
+        vox = voxelize_mean(points, num_points, grid,
+                            max_voxels=self.vox_cfg.max_voxels)
+        st = from_voxels(vox.coords, vox.features, grid.grid_size)
+        backbone = VoxelNeXtBackbone(self.det_cfg, grid.grid_size,
+                                     self.vox_cfg.max_voxels,
+                                     name="backbone")
+        bev = backbone(st)
+        head = VoxelNeXtHead(self.det_cfg, name="head")
+        preds = head(bev)
+        out = {"bev_sparse": bev, "preds": preds}
+        if return_dense_bev:
+            # [C, H, W] float16-ready map — the L2->L4 bridge contract
+            # (precompute_bev_features.py:231-292 captures exactly this)
+            out["bev_dense"] = to_dense(bev)[:, 0]
+        return out
+
+    def detect(self, points, num_points) -> Detections:
+        out = self(points, num_points, return_dense_bev=False)
+        return decode_detections(out["preds"], self.det_cfg, self.vox_cfg,
+                                 self.det_cfg.spatial_stride)

@@ -1,0 +1,220 @@
+"""End-to-end VQA model: LiDAR BEV + 6 cameras + question -> answer.
+
+The TPU-native re-composition of the reference's training assembly
+(src/encoder-decoder/training/core/trainer.py:497-691 `_train_step`) and
+inference splice (inference/inference_engine.py:139-227
+`build_inputs_embeds`):
+
+    prefix = [<vision_start>, V*s, <vision_end>,
+              <lidar_start>,  L*s, <lidar_end>]        (s = prefix_scale 0.2,
+                                                        reference train.py:187)
+    sequence = prefix ++ text(prompt ++ answer)
+
+Canonical layout notes (SURVEY.md §3.1/§3.2): the reference trainer
+accidentally appends the prompt embedding twice (trainer.py:633-647) while
+validation/inference use it once — this rebuild uses the single-prompt
+layout everywhere. The reference also has two prompt-assembly styles; the
+training layout (prefix before chat-templated text) is canonical here.
+
+Static-shape design: the text block arrives pre-packed from collation as
+right-padded [B, T] ids with per-sample `text_len`, labels -100 outside the
+answer span; prefix length is static (n_vision_q + n_lidar_q + 4); causal
+attention masks padding via kv_len = P + text_len.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.schema import ModelConfig
+from .deepencoder import DeepEncoder, build_deepencoder
+from .qwen import KVCache, QwenModel, cross_entropy_loss, init_cache
+from .vat import VATLiDAR, VATVision, VisionAdapter
+
+# special-token order matches config.LLMConfig.special_tokens
+VISION_START, VISION_END, LIDAR_START, LIDAR_END = range(4)
+
+
+class VQABatch(NamedTuple):
+    """One device batch (produced by lvv_tpu.data.collate)."""
+    bev: jax.Array          # [B, C, H, W] float
+    images: jax.Array       # [B, 6, 3, S, S] float in [-1,1]
+    view_valid: jax.Array   # [B, 6] bool
+    text_ids: jax.Array     # [B, T] int32, prompt++answer, right-padded
+    text_len: jax.Array     # [B] int32
+    labels: jax.Array       # [B, T] int32, -100 outside answer
+    use_vision: jax.Array   # [] or [B] bool ablation toggles
+    use_lidar: jax.Array
+
+
+class VQAModel(nn.Module):
+    """Full multimodal stack as one flax module (single params tree with
+    stable top-level names: deepencoder / adapter / vat_vision / vat_lidar /
+    llm — the unit of checkpointing and optimizer partitioning)."""
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+    llm_lora_rank: int = 0
+    llm_lora_alpha: float = 1.0
+    clip_lora_rank: int = 0
+    clip_lora_alpha: float = 1.0
+
+    def setup(self):
+        c = self.cfg
+        self.deepencoder = build_deepencoder(
+            c, dtype=self.dtype, clip_lora_rank=self.clip_lora_rank,
+            clip_lora_alpha=self.clip_lora_alpha)
+        self.adapter = VisionAdapter(d_model=c.adapter.d_model,
+                                     num_views=c.adapter.num_views,
+                                     dropout=c.adapter.dropout,
+                                     dtype=self.dtype, name="adapter")
+        n_tokens = c.adapter.num_views * sam_grid_side(c) ** 2
+        self.vat_vision = VATVision(
+            d_in=c.vat_vision.d_in, d_model=c.vat_vision.d_model,
+            n_tokens=n_tokens,
+            compression_factor=c.vat_vision.compression_factor,
+            n_blocks=c.vat_vision.n_blocks, n_heads=c.vat_vision.n_heads,
+            mlp_ratio=c.vat_vision.mlp_ratio,
+            per_view_queries=c.vat_vision.per_view_queries,
+            dtype=self.dtype, name="vat_vision")
+        self.vat_lidar = VATLiDAR(
+            d_model=c.vat_lidar.d_model, n_queries=c.vat_lidar.n_queries,
+            n_blocks=c.vat_lidar.n_blocks, n_heads=c.vat_lidar.n_heads,
+            mlp_ratio=c.vat_lidar.mlp_ratio, pe_hidden=c.vat_lidar.pe_hidden,
+            dw_kernel=c.vat_lidar.dw_kernel, dtype=self.dtype,
+            name="vat_lidar")
+        self.llm = QwenModel(c.llm, dtype=self.dtype,
+                             lora_rank=self.llm_lora_rank,
+                             lora_alpha=self.llm_lora_alpha,
+                             extra_tokens=len(c.llm.special_tokens),
+                             name="llm")
+
+    # -- token-grid side: adapt VATVision n_tokens when SAM grid is small
+    # (tiny test configs); the product config is 6*256 = 1536.
+
+    def special_embed(self, which: int) -> jax.Array:
+        """Embedding row of a multimodal special token."""
+        idx = self.cfg.llm.vocab_size + which
+        return self.llm.embed(jnp.asarray([[idx]], jnp.int32))[0, 0]
+
+    def encode_prefix(self, bev, images, view_valid, use_vision=True,
+                      use_lidar=True, deterministic: bool = True
+                      ) -> Tuple[jax.Array, int]:
+        """-> prefix embeddings [B, P, D]; P is static.
+
+        Ablation toggles zero the corresponding prefix (reference
+        train.py:159-172 modality toggles keep sequence shape stable)."""
+        c = self.cfg
+        b = bev.shape[0]
+        scale = jnp.asarray(c.prefix_scale, self.dtype)
+
+        view_tokens = self.deepencoder.encode_views(images, view_valid)
+        kv = self.adapter(view_tokens, deterministic=deterministic)
+        v_prefix = self.vat_vision(kv, deterministic=deterministic) * scale
+        l_prefix = self.vat_lidar(bev, deterministic=deterministic) * scale
+
+        v_prefix = v_prefix * jnp.asarray(use_vision, self.dtype)
+        l_prefix = l_prefix * jnp.asarray(use_lidar, self.dtype)
+
+        def tok(which):
+            return jnp.broadcast_to(
+                self.special_embed(which).astype(self.dtype)[None, None],
+                (b, 1, c.llm.hidden_size))
+
+        prefix = jnp.concatenate([
+            tok(VISION_START), v_prefix.astype(self.dtype), tok(VISION_END),
+            tok(LIDAR_START), l_prefix.astype(self.dtype), tok(LIDAR_END),
+        ], axis=1)
+        return prefix
+
+    def __call__(self, batch: VQABatch, deterministic: bool = True):
+        """Training/val forward -> (loss, logits [B, P+T, V], token_count)."""
+        prefix = self.encode_prefix(batch.bev, batch.images, batch.view_valid,
+                                    batch.use_vision, batch.use_lidar,
+                                    deterministic)
+        text_emb = self.llm.embed(batch.text_ids)
+        embeds = jnp.concatenate([prefix, text_emb], axis=1)
+        p = prefix.shape[1]
+        seq_len = p + batch.text_len
+        logits = self.llm(embeds, seq_len=seq_len)
+        # labels over the full sequence: -100 for prefix, then text labels
+        b, t = batch.labels.shape
+        full_labels = jnp.concatenate(
+            [jnp.full((b, p), -100, jnp.int32), batch.labels], axis=1)
+        loss, count = cross_entropy_loss(logits[:, :-1], full_labels[:, 1:])
+        return loss, logits, count
+
+    # ---------------- generation ----------------
+
+    def prefill(self, batch_bev, images, view_valid, prompt_ids, prompt_len,
+                cache: KVCache, use_vision=True, use_lidar=True):
+        """Build prefix + prompt, run one cached prefill pass.
+        Returns (last_logits [B, V], cache)."""
+        prefix = self.encode_prefix(batch_bev, images, view_valid,
+                                    use_vision, use_lidar)
+        text_emb = self.llm.embed(prompt_ids)
+        embeds = jnp.concatenate([prefix, text_emb], axis=1)
+        p = prefix.shape[1]
+        seq_len = p + prompt_len
+        logits, cache = self.llm(embeds, seq_len=seq_len, cache=cache)
+        # logits at the last REAL position per sample
+        last = jnp.take_along_axis(
+            logits, (seq_len - 1)[:, None, None].astype(jnp.int32), axis=1)
+        return last[:, 0], cache
+
+    def decode_step(self, token_ids, cache: KVCache):
+        """One greedy step: [B] ids -> (logits [B, V], cache)."""
+        emb = self.llm.embed(token_ids[:, None])
+        pos = cache.length[:, None]
+        logits, cache = self.llm(emb, positions=pos, cache=cache)
+        return logits[:, -1], cache
+
+
+def greedy_generate(model: VQAModel, params, batch_bev, images, view_valid,
+                    prompt_ids, prompt_len, *, max_new_tokens: int,
+                    eos_id: int, max_cache: Optional[int] = None):
+    """Jit-friendly greedy decode (reference InferenceEngine.generate
+    :229-304; greedy path matches validation.py:552-580 when sampling is
+    off). Returns (tokens [B, max_new_tokens], lengths [B])."""
+    b = prompt_ids.shape[0]
+    cfg = model.cfg.llm
+    p_static = _prefix_len(model.cfg)
+    max_cache = max_cache or (p_static + prompt_ids.shape[1]
+                              + max_new_tokens + 8)
+    cache = init_cache(cfg, b, max_cache, dtype=jnp.float32)
+
+    last_logits, cache = model.apply(
+        {"params": params}, batch_bev, images, view_valid, prompt_ids,
+        prompt_len, cache, method=VQAModel.prefill)
+
+    def body(state, _):
+        last_logits, cache, done = state
+        nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, nxt)
+        logits, cache = model.apply({"params": params}, nxt, cache,
+                                    method=VQAModel.decode_step)
+        done = done | (nxt == eos_id)
+        return (logits, cache, done), nxt
+
+    (_, _, _), tokens = jax.lax.scan(
+        body, (last_logits, cache, jnp.zeros((b,), bool)), None,
+        length=max_new_tokens)
+    tokens = tokens.T  # [B, N]
+    not_eos = tokens != eos_id
+    lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1), axis=1)
+    return tokens, lengths
+
+
+def sam_grid_side(cfg: ModelConfig) -> int:
+    """Token-grid side after SAM's patcher and the two VARY stride-2 convs
+    (16 at the product config: 1024/16/4, reference FIXED_GRID_SIDE)."""
+    return cfg.sam.img_size // cfg.sam.patch_size // 4
+
+
+def _prefix_len(cfg: ModelConfig) -> int:
+    n_tokens = cfg.adapter.num_views * sam_grid_side(cfg) ** 2
+    n_v = n_tokens // cfg.vat_vision.compression_factor
+    return n_v + cfg.vat_lidar.n_queries + 4

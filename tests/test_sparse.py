@@ -1,0 +1,133 @@
+"""Sparse conv vs dense torch oracle (the contract of spconv's SubMConv /
+SparseConv, which the reference consumes via spconv_utils.py)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from lvv_tpu.ops.sparse import (SENTINEL, SparseTensor, bev_collapse,
+                                from_voxels, merge_add, reindex_upscale,
+                                sparse_conv, submanifold_conv, to_dense)
+
+
+def _random_sparse(rng, grid, n_active, cin, cap=64):
+    nx, ny, nz = grid
+    lin = rng.choice(nx * ny * nz, size=n_active, replace=False)
+    z, y, x = lin // (nx * ny), (lin // nx) % ny, lin % nx
+    coords = np.stack([z, y, x], 1).astype(np.int32)
+    feats = rng.normal(size=(n_active, cin)).astype(np.float32)
+    coords_p = np.full((cap, 3), -1, np.int32)
+    feats_p = np.zeros((cap, cin), np.float32)
+    coords_p[:n_active] = coords
+    feats_p[:n_active] = feats
+    st = from_voxels(jnp.asarray(coords_p), jnp.asarray(feats_p), grid)
+    return st, coords, feats
+
+
+def _dense_from(st: SparseTensor):
+    return np.asarray(to_dense(st))  # [C, nz, ny, nx]
+
+
+def _torch_conv3d(dense_cin, weight_k, stride, padding):
+    # dense_cin [C, nz, ny, nx]; weight [K^3, Cin, Cout] centered-offset order
+    cin = dense_cin.shape[0]
+    k3, _, cout = weight_k.shape
+    k = round(k3 ** (1 / 3))
+    w = weight_k.reshape(k, k, k, cin, cout)  # (dz, dy, dx, cin, cout)
+    wt = torch.from_numpy(np.transpose(w, (4, 3, 0, 1, 2)).copy())
+    x = torch.from_numpy(dense_cin[None])
+    out = torch.nn.functional.conv3d(x, wt, stride=stride, padding=padding)
+    return out[0].numpy()  # [Cout, nz', ny', nx']
+
+
+def test_submanifold_matches_dense_on_active_sites(rng):
+    grid = (6, 5, 4)  # nx, ny, nz
+    st, coords, feats = _random_sparse(rng, grid, n_active=20, cin=3)
+    w = rng.normal(size=(27, 3, 5)).astype(np.float32) * 0.1
+    out = submanifold_conv(st, jnp.asarray(w))
+    dense_ref = _torch_conv3d(_dense_from(st), w, stride=1, padding=1)
+    got_dense = _dense_from(out)
+    # submanifold: only ACTIVE sites carry output; compare there
+    for (z, y, x) in coords:
+        np.testing.assert_allclose(got_dense[:, z, y, x],
+                                   dense_ref[:, z, y, x], atol=1e-4)
+    # inactive sites stay empty (submanifold property)
+    mask = np.zeros(grid[::-1], bool)
+    mask[coords[:, 0], coords[:, 1], coords[:, 2]] = True
+    assert np.abs(got_dense[:, ~mask]).max() == 0
+
+
+def test_sparse_conv_stride2_matches_dense(rng):
+    grid = (8, 8, 4)
+    st, coords, feats = _random_sparse(rng, grid, n_active=25, cin=3, cap=128)
+    w = rng.normal(size=(27, 3, 4)).astype(np.float32) * 0.1
+    out = sparse_conv(st, jnp.asarray(w), stride=2, padding=1,
+                      out_capacity=128)
+    dense_ref = _torch_conv3d(_dense_from(st), w, stride=2, padding=1)
+    got = _dense_from(out)
+    assert got.shape == dense_ref.shape
+    np.testing.assert_allclose(got, dense_ref, atol=1e-4)
+
+
+def test_sparse_conv2d_on_bev(rng):
+    grid = (8, 8, 1)
+    st, coords, feats = _random_sparse(rng, grid, n_active=12, cin=4, cap=64)
+    w = rng.normal(size=(9, 4, 6)).astype(np.float32) * 0.1
+    out = submanifold_conv(st, jnp.asarray(w), ndim2d=True)
+    # oracle: 2D conv on the z=0 plane
+    k = 3
+    wt = torch.from_numpy(np.transpose(
+        w.reshape(k, k, 4, 6), (3, 2, 0, 1)).copy())
+    x = torch.from_numpy(_dense_from(st)[:, 0][None])
+    ref = torch.nn.functional.conv2d(x, wt, padding=1)[0].numpy()
+    got = _dense_from(out)[:, 0]
+    for (z, y, x_) in coords:
+        np.testing.assert_allclose(got[:, y, x_], ref[:, y, x_], atol=1e-4)
+
+
+def test_bev_collapse_sums_z(rng):
+    grid = (4, 4, 3)
+    coords = np.array([[0, 1, 1], [1, 1, 1], [2, 1, 1], [0, 2, 3]], np.int32)
+    feats = np.array([[1.0], [2.0], [4.0], [10.0]], np.float32)
+    cp = np.full((8, 3), -1, np.int32)
+    fp = np.zeros((8, 1), np.float32)
+    cp[:4], fp[:4] = coords, feats
+    st = from_voxels(jnp.asarray(cp), jnp.asarray(fp), grid)
+    bev = bev_collapse(st)
+    dense = _dense_from(bev)[0, 0]  # [ny, nx]
+    assert dense[1, 1] == 7.0
+    assert dense[2, 3] == 10.0
+    assert dense.sum() == 17.0
+
+
+def test_reindex_and_merge(rng):
+    fine = (8, 8, 1)
+    coarse = (4, 4, 1)
+    cp = np.full((4, 3), -1, np.int32)
+    cp[0] = [0, 1, 2]
+    fp = np.zeros((4, 2), np.float32)
+    fp[0] = [1.0, 2.0]
+    st_c = from_voxels(jnp.asarray(cp), jnp.asarray(fp), coarse)
+    up = reindex_upscale(st_c, 2, fine)
+    d = _dense_from(up)
+    assert d[0, 0, 2, 4] == 1.0  # (y=1,x=2) -> (2,4)
+    merged = merge_add(up, up, capacity=8)
+    assert _dense_from(merged)[0, 0, 2, 4] == 2.0
+
+
+def test_gradients_flow_through_sparse_conv(rng):
+    import jax
+    grid = (6, 6, 2)
+    st, coords, feats = _random_sparse(rng, grid, n_active=10, cin=3)
+    w = jnp.asarray(rng.normal(size=(27, 3, 3)).astype(np.float32) * 0.1)
+
+    def loss(w):
+        out = submanifold_conv(st, w)
+        out2 = sparse_conv(out, w, stride=2, padding=1, out_capacity=64)
+        return jnp.sum(out2.features ** 2)
+
+    g = jax.grad(loss)(w)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
