@@ -49,14 +49,32 @@ class DeepEncoder(nn.Module):
         fused = jnp.concatenate([clip_tokens[:, 1:], sam_flat], axis=-1)
         return self.projector(fused)                        # [B, G*G, D]
 
+    sequential_views: bool = False
+
     def encode_views(self, images: jax.Array,
                      view_valid: Optional[jax.Array] = None) -> jax.Array:
         """[B, V, 3, S, S] -> [B, V, G*G, D]; invalid views zeroed
-        (reference encode_views zero-fill, deepencoder_infer.py:536-549)."""
+        (reference encode_views zero-fill, deepencoder_infer.py:536-549).
+
+        `sequential_views=True` runs the 6 views through a lax.map instead
+        of folding them into the batch: at the 1024px product config SAM's
+        global-attention rel-pos bias is ~0.8 GB/view in fp32, so the
+        batched path would exceed v5e HBM at B*6 views; the sequential path
+        trades a 6-step scan for 1/6th the live memory. Either way it is
+        ONE jit region (the reference loops views in host Python,
+        trainer.py:527-556)."""
         b, v = images.shape[:2]
-        flat = images.reshape((b * v,) + images.shape[2:])
-        tokens = self(flat)
-        tokens = tokens.reshape((b, v) + tokens.shape[1:])
+        if self.sequential_views:
+            # static unrolled loop (lax.map over a bound flax module leaks
+            # tracers through the module-call interception); XLA's scheduler
+            # serializes the 6 identical subgraphs, bounding live memory to
+            # one view's attention buffers
+            tokens = jnp.stack([self(images[:, i]) for i in range(v)],
+                               axis=1)
+        else:
+            flat = images.reshape((b * v,) + images.shape[2:])
+            tokens = self(flat)
+            tokens = tokens.reshape((b, v) + tokens.shape[1:])
         if view_valid is not None:
             tokens = tokens * view_valid[:, :, None, None].astype(tokens.dtype)
         return tokens
@@ -64,7 +82,8 @@ class DeepEncoder(nn.Module):
 
 def build_deepencoder(cfg, dtype=jnp.float32,
                       clip_lora_rank: int = 0,
-                      clip_lora_alpha: float = 1.0) -> DeepEncoder:
+                      clip_lora_alpha: float = 1.0,
+                      sequential_views: Optional[bool] = None) -> DeepEncoder:
     """Construct from config schema (lvv_tpu.config.ModelConfig fields)."""
     sam = SAMImageEncoder(
         img_size=cfg.sam.img_size, patch_size=cfg.sam.patch_size,
@@ -85,4 +104,8 @@ def build_deepencoder(cfg, dtype=jnp.float32,
         kind=cfg.projector.kind, n_embed=cfg.projector.n_embed,
         depth=cfg.projector.depth, mlp_ratio=cfg.projector.mlp_ratio,
         downsample_ratio=cfg.projector.downsample_ratio, dtype=dtype)
-    return DeepEncoder(sam=sam, clip=clip, projector=projector)
+    if sequential_views is None:
+        # auto: big image towers need the memory-lean path
+        sequential_views = cfg.sam.img_size >= 512
+    return DeepEncoder(sam=sam, clip=clip, projector=projector,
+                       sequential_views=sequential_views)

@@ -173,39 +173,53 @@ class VQAModel(nn.Module):
         return logits[:, -1], cache
 
 
+@functools.cache
+def _generate_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
+                 max_cache: int):
+    """One jitted (prefill + scan-decode) program per (model, knobs) —
+    cached so repeated generate calls reuse the compilation. flax modules
+    are frozen dataclasses, hence valid cache keys."""
+
+    def impl(params, batch_bev, images, view_valid, prompt_ids, prompt_len):
+        b = prompt_ids.shape[0]
+        cache = init_cache(model.cfg.llm, b, max_cache, dtype=model.dtype)
+        last_logits, cache = model.apply(
+            {"params": params}, batch_bev, images, view_valid, prompt_ids,
+            prompt_len, cache, method=VQAModel.prefill)
+
+        def body(state, _):
+            last_logits, cache, done = state
+            nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, eos_id, nxt)
+            logits, cache = model.apply({"params": params}, nxt, cache,
+                                        method=VQAModel.decode_step)
+            done = done | (nxt == eos_id)
+            return (logits, cache, done), nxt
+
+        (_, _, _), tokens = jax.lax.scan(
+            body, (last_logits, cache, jnp.zeros((b,), bool)), None,
+            length=max_new_tokens)
+        tokens = tokens.T  # [B, N]
+        not_eos = tokens != eos_id
+        lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1),
+                          axis=1)
+        return tokens, lengths
+
+    return jax.jit(impl)
+
+
 def greedy_generate(model: VQAModel, params, batch_bev, images, view_valid,
                     prompt_ids, prompt_len, *, max_new_tokens: int,
                     eos_id: int, max_cache: Optional[int] = None):
-    """Jit-friendly greedy decode (reference InferenceEngine.generate
-    :229-304; greedy path matches validation.py:552-580 when sampling is
-    off). Returns (tokens [B, max_new_tokens], lengths [B])."""
-    b = prompt_ids.shape[0]
-    cfg = model.cfg.llm
+    """Greedy decode, fully jitted end-to-end (reference
+    InferenceEngine.generate :229-304; greedy path matches
+    validation.py:552-580 when sampling is off).
+    Returns (tokens [B, max_new_tokens], lengths [B])."""
     p_static = _prefix_len(model.cfg)
     max_cache = max_cache or (p_static + prompt_ids.shape[1]
                               + max_new_tokens + 8)
-    cache = init_cache(cfg, b, max_cache, dtype=jnp.float32)
-
-    last_logits, cache = model.apply(
-        {"params": params}, batch_bev, images, view_valid, prompt_ids,
-        prompt_len, cache, method=VQAModel.prefill)
-
-    def body(state, _):
-        last_logits, cache, done = state
-        nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, eos_id, nxt)
-        logits, cache = model.apply({"params": params}, nxt, cache,
-                                    method=VQAModel.decode_step)
-        done = done | (nxt == eos_id)
-        return (logits, cache, done), nxt
-
-    (_, _, _), tokens = jax.lax.scan(
-        body, (last_logits, cache, jnp.zeros((b,), bool)), None,
-        length=max_new_tokens)
-    tokens = tokens.T  # [B, N]
-    not_eos = tokens != eos_id
-    lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1), axis=1)
-    return tokens, lengths
+    fn = _generate_fn(model, max_new_tokens, eos_id, max_cache)
+    return fn(params, batch_bev, images, view_valid, prompt_ids, prompt_len)
 
 
 def sam_grid_side(cfg: ModelConfig) -> int:

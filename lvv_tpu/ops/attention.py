@@ -55,8 +55,10 @@ def attention_reference(q, k, v, *, causal: bool = False,
     n_rep = q.shape[1] // k.shape[1]
     k, v = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
     scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) * scale
+    # keep inputs in their storage dtype (bf16 on TPU feeds the MXU at full
+    # rate) and accumulate in fp32 via preferred_element_type
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     sq, sk = q.shape[2], k.shape[2]
@@ -68,7 +70,8 @@ def attention_reference(q, k, v, *, causal: bool = False,
         ki = jnp.arange(sk)[None, None, None, :]
         logits = jnp.where(ki < kv_len[:, None, None, None], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.astype(orig_dtype)
 
 
