@@ -32,6 +32,12 @@ def _build_pointpillars(det_cfg, vox_cfg):
     return PointPillarsDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("CenterPoint")
+def _build_centerpoint(det_cfg, vox_cfg):
+    from .centerpoint import CenterPointDetector
+    return CenterPointDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "

@@ -54,8 +54,10 @@ def decomposed_rel_pos_bias(q: jax.Array, rel_h: jax.Array, rel_w: jax.Array,
     rh = resize_rel_pos(rel_h, h, h)    # [h, h, dim]
     rw = resize_rel_pos(rel_w, w, w)    # [w, w, dim]
     qr = q.reshape(bsz, n_heads, h, w, dim)
-    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh)
-    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw)
+    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh,
+                        preferred_element_type=jnp.float32)
+    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw,
+                        preferred_element_type=jnp.float32)
     bias = bias_h[..., :, None] + bias_w[..., None, :]
     return bias.reshape(bsz, n_heads, h * w, h * w)
 
@@ -82,6 +84,15 @@ def window_unpartition(x: jax.Array, window: int, padded_hw, hw):
     return x[:, :h, :w]
 
 
+def _relpos_kernel_ok(h: int, w: int, head_dim: int) -> bool:
+    """Eligibility for the in-kernel rel-pos flash path (TPU, lane-aligned
+    token grid — the 64x64 global-attention layers at the product config)."""
+    import jax as _jax
+    s = h * w
+    return (_jax.default_backend() == "tpu" and head_dim in (64, 128)
+            and s % 128 == 0 and 128 % w == 0)
+
+
 class SAMAttention(nn.Module):
     """ViT attention with optional decomposed rel-pos bias
     (reference sam_vary_sdpa.py:240-296)."""
@@ -98,17 +109,41 @@ class SAMAttention(nn.Module):
             x.reshape(b, h * w, c))
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        bias = None
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size[0] - 1, head_dim))
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * self.input_size[1] - 1, head_dim))
             # original SAM adds q·R with UNSCALED q (the 1/sqrt(d) factor
-            # applies only to the q·k term, which attention() handles)
+            # applies only to the q·k term, which the attention op handles).
+            if _relpos_kernel_ok(h, w, head_dim):
+                # global layers on TPU: flash kernel computes the bias from
+                # the decomposed tables IN-KERNEL — the [S, S] bias/logits
+                # (~2.4 GB per layer per view at 64x64 tokens) never exist
+                import math as _math
+                from ..ops.attention import flash_attention_relpos
+                rh = resize_rel_pos(rel_h.astype(q.dtype), h, h)
+                rw = resize_rel_pos(rel_w.astype(q.dtype), w, w)
+                qr = q.reshape(b, self.num_heads, h, w, head_dim)
+                q_rh = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh,
+                                  preferred_element_type=jnp.float32
+                                  ).reshape(b, self.num_heads, h * w, h)
+                q_rw = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw,
+                                  preferred_element_type=jnp.float32
+                                  ).reshape(b, self.num_heads, h * w, w)
+                out = flash_attention_relpos(
+                    q, k, v, q_rh.astype(q.dtype), q_rw.astype(q.dtype),
+                    scale=1.0 / _math.sqrt(head_dim), grid_w=w)
+                out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+                out = Dense(c, dtype=self.dtype, name="proj")(out)
+                return out.reshape(b, h, w, c)
+            # windowed / CPU path: materialized bias through XLA attention
+            # (small windows keep this cheap; bias stored in compute dtype)
             bias = decomposed_rel_pos_bias(
-                q.astype(jnp.float32), rel_h.astype(jnp.float32),
-                rel_w.astype(jnp.float32), (h, w))
+                q, rel_h.astype(q.dtype), rel_w.astype(q.dtype),
+                (h, w)).astype(self.dtype)
+        else:
+            bias = None
         out = attention(q, k, v, bias=bias)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         out = Dense(c, dtype=self.dtype, name="proj")(out)

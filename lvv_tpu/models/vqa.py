@@ -111,10 +111,17 @@ class VQAModel(nn.Module):
         b = bev.shape[0]
         scale = jnp.asarray(c.prefix_scale, self.dtype)
 
+        # trace-time shape hooks (zero runtime cost; reference threads its
+        # DebugLogger through every forward, trainer.py:499-690)
+        from ..utils import get_tracer
+        tracer = get_tracer()
         view_tokens = self.deepencoder.encode_views(images, view_valid)
+        tracer.shape("view_tokens", view_tokens, "vqa")
         kv = self.adapter(view_tokens, deterministic=deterministic)
         v_prefix = self.vat_vision(kv, deterministic=deterministic) * scale
         l_prefix = self.vat_lidar(bev, deterministic=deterministic) * scale
+        tracer.shape("v_prefix", v_prefix, "vqa")
+        tracer.shape("l_prefix", l_prefix, "vqa")
 
         v_prefix = v_prefix * jnp.asarray(use_vision, self.dtype)
         l_prefix = l_prefix * jnp.asarray(use_lidar, self.dtype)

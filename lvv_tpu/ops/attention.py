@@ -217,6 +217,118 @@ def flash_attention(q, k, v, *, causal: bool = False,
     return out[:, :, :sq, :d]
 
 
+# ----------------------------------------------------------------------------
+# Flash attention with decomposed relative-position bias (SAM global layers).
+# ----------------------------------------------------------------------------
+
+def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
+                         acc_ref, m_ref, l_ref, *, scale: float, w: int):
+    """Flash tile with bias computed in-kernel from the decomposed tables.
+
+    qrh_ref [1,1,bq,GH]: full rows of q·Rh; qrw_ref [1,1,bq,W]: q·Rw for
+    all kw. bias[q, kv] = qrh[q, kv // w] + qrw[q, kv % w]. The kh columns
+    this kv block needs are picked with a one-hot matmul (Mosaic requires
+    lane blocks of 128 or full width, so slicing the tiny GH dim is out).
+    """
+    bq = q_ref.shape[2]
+    bk = k_ref.shape[2]
+    gh = qrh_ref.shape[3]
+    ki = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0]
+    kb = k_ref[0, 0]
+    vb = v_ref[0, 0]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    r = bk // w
+    qrw = qrw_ref[0, 0].astype(jnp.float32)           # [bq, W]
+    qrh = qrh_ref[0, 0].astype(jnp.float32)           # [bq, GH]
+    # one-hot selector: sel[kh, col] = 1 iff kh == (k_start + col) // w
+    k_start = ki * bk
+    rows = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 1)
+    sel = (rows == (k_start + cols) // w).astype(jnp.float32)
+    bias_h = jax.lax.dot_general(qrh, sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    bias_w = jnp.concatenate([qrw] * r, axis=1)       # [bq, bk]
+    s = s + bias_h + bias_w
+
+    m_prev = m_ref[:, 0]
+    l_prev = l_ref[:, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_new[:, None])
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+    acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
+        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, 0], 1e-30)
+        o_ref[0, 0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "grid_w", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
+                           block_q: int = 128, block_k: int = 128,
+                           interpret: bool = False):
+    """Self-attention with decomposed rel-pos bias, never materializing the
+    [S, S] logits/bias (SAM global layers: S=4096 saves ~2.4 GB/layer/view).
+
+    q/k/v [B, H, S, D] with S = grid_h * grid_w; q_rh [B, H, S, grid_h] and
+    q_rw [B, H, S, grid_w] are einsum(q, Rh/Rw) — tiny. Requires
+    grid_w | block_k and S % block_q == 0.
+    """
+    b, h, s, d = q.shape
+    gh = s // grid_w
+    assert block_k % grid_w == 0 or grid_w % block_k == 0
+    block_k = min(block_k, s)
+    block_q = min(block_q, s)
+    r = block_k // grid_w
+    kernel = functools.partial(_flash_relpos_kernel, scale=scale, w=grid_w)
+    grid = (b, h, s // block_q, s // block_k)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_q, gh),
+                         lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, grid_w),
+                         lambda b_, h_, i, j: (b_, h_, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h_, i, j: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, q_rh, q_rw)
+
+
 def attention(q, k, v, *, causal: bool = False,
               kv_len: Optional[jax.Array] = None,
               bias: Optional[jax.Array] = None,

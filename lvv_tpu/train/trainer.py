@@ -209,7 +209,7 @@ class Trainer:
         rows = [self.dataset[int(i)] for i in self.val_idx[:n]]
         if not rows:
             return {}
-        preds, refs, templates = [], [], []
+        preds, refs, templates, dump = [], [], [], []
         for r in rows:
             batch = self.collator([{**r, "answer": None}])
             prompt_len = int(batch.text_len[0])
@@ -223,6 +223,13 @@ class Trainer:
             preds.append(text)
             refs.append(r["answer"])
             templates.append(r["template_type"])
+            dump.append({"token": r["token"], "question": r["question"],
+                         "reference": r["answer"], "generated": text,
+                         "template_type": r["template_type"]})
+        # per-epoch sample dump (reference save_val_inference_samples,
+        # validation.py:172-295 JSON output)
+        (self.out_dir / "inference_samples.json").write_text(
+            json.dumps(dump, indent=2))
         return metrics_by_template(preds, refs, templates)
 
     def _write_history(self) -> None:

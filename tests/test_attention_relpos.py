@@ -1,0 +1,39 @@
+"""flash_attention_relpos vs the materialized-bias oracle."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvv_tpu.ops.attention import attention_reference, flash_attention_relpos
+
+
+@pytest.mark.parametrize("gh,gw,d", [(4, 64, 64), (8, 32, 64), (2, 128, 64)])
+def test_relpos_flash_matches_bias_oracle(key, gh, gw, d):
+    b, h = 1, 2
+    s = gh * gw
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, h, s, d))
+    k = jax.random.normal(ks[1], (b, h, s, d))
+    v = jax.random.normal(ks[2], (b, h, s, d))
+    q_rh = jax.random.normal(ks[3], (b, h, s, gh)) * 0.3
+    q_rw = jax.random.normal(ks[4], (b, h, s, gw)) * 0.3
+
+    # oracle: materialize bias[q, kv] = q_rh[q, kv//gw] + q_rw[q, kv%gw]
+    kv = np.arange(s)
+    bias = (np.asarray(q_rh)[..., kv // gw]
+            + np.asarray(q_rw)[..., kv % gw])
+    # index trick above gathers wrong axis; build explicitly
+    bias = np.zeros((b, h, s, s), np.float32)
+    for i in range(s):
+        bias[..., i] = np.asarray(q_rh)[..., i // gw] + \
+            np.asarray(q_rw)[..., i % gw]
+    ref = attention_reference(q, k, v, bias=jnp.asarray(bias),
+                              scale=1.0 / math.sqrt(d))
+
+    out = flash_attention_relpos(q, k, v, q_rh, q_rw,
+                                 scale=1.0 / math.sqrt(d), grid_w=gw,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
