@@ -38,6 +38,12 @@ def _build_centerpoint(det_cfg, vox_cfg):
     return CenterPointDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("SECOND")
+def _build_second(det_cfg, vox_cfg):
+    from .second import SECONDDetector
+    return SECONDDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "

@@ -82,6 +82,14 @@ def assign_targets(bev: SparseTensor, gt_boxes: jax.Array,
         d2_masked, center_site[None, :], axis=0)[0] < (radius ** 2 + 1.0)
     assign = gt_mask & near_enough
 
+    # the center site is an exact positive (the reference draws the gaussian
+    # then pins the peak to 1, centernet_utils.draw_gaussian_to_heatmap);
+    # without this, off-grid centers yield zero focal positives
+    safe_center = jnp.where(assign, center_site, bev.ids.shape[0] - 1)
+    peak = jax.nn.one_hot(jnp.clip(gt_labels, 0, c - 1), c) * assign[:, None]
+    hm_tgt = hm_tgt.at[safe_center].max(peak)
+    hm_tgt = hm_tgt * valid_site[:, None]
+
     reg_tgt = jnp.zeros((bev.ids.shape[0], 8), jnp.float32)
     reg_mask = jnp.zeros((bev.ids.shape[0],), bool)
     tgt_rows = jnp.stack([

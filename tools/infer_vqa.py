@@ -7,6 +7,11 @@ Interactive: --interactive --bev path/to/token.npy
 """
 from __future__ import annotations
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import pathlib

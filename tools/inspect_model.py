@@ -9,6 +9,11 @@ jax.eval_shape — no forward hooks, no device time.
 """
 from __future__ import annotations
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 
 

@@ -11,6 +11,11 @@ the newest loadable checkpoint; use train.resume=false to start fresh).
 """
 from __future__ import annotations
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 
