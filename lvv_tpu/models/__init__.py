@@ -8,6 +8,18 @@ from .layers import (MLP, Dense, LayerNorm, MultiHeadAttention, RMSNorm,
 from .projector import MlpProjector, projector_flops_per_sample
 from .qwen import (KVCache, QwenModel, cross_entropy_loss, init_cache)
 from .sam import SAMImageEncoder
+from .anchor_head import (AnchorHead, ResidualBoxCoder, anchor_head_loss,
+                          assign_anchor_targets, decode_anchor_preds,
+                          generate_anchors)
+from .centerpoint import CenterPointDetector, height_compression
+from .pointnet2 import (FeaturePropagation, PointNet2Backbone,
+                        SetAbstraction, SetAbstractionMSG)
+from .pointpillars import (BaseBEVBackbone, DenseCenterHead, PillarVFE,
+                           PointPillarsDetector, pillar_scatter)
+from .registry import DETECTORS, build_detector, register_detector
+from .roi_head import (RoIHead, proposal_targets, refine_boxes,
+                       roi_head_loss)
+from .second import SECONDDetector
 from .vat import NUM_VIEWS, VATBlock, VATLiDAR, VATVision, VisionAdapter
 from .voxelnext import (Detections, VoxelNeXtBackbone, VoxelNeXtDetector,
                         VoxelNeXtHead, decode_detections)
