@@ -1,0 +1,130 @@
+"""Depth-LSS camera-to-BEV view transform + conv fuser (BEVFusion camera
+branch).
+
+Re-design of the reference's camera path (pcdet/models/view_transforms/
+depth_lss.py DepthLSSTransform over the bev_pool CUDA op;
+backbones_2d/fuser/convfuser.py ConvFuser): per camera, image features
+predict a depth distribution and a context vector; their outer product
+lifts features into a camera frustum; frustum points transform into ego
+BEV bins; lvv_tpu.ops.pool.bev_pool scatter-sums everything into the BEV
+canvas; a conv fuser merges camera-BEV with lidar-BEV.
+
+The image backbone is pluggable — any [3, H, W] -> [C, Hf, Wf] module
+(the reference uses Swin + GeneralizedLSSFPN; a compact conv pyramid ships
+here, the Swin port lands with later rounds).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.pool import bev_pool
+
+
+class ConvImageBackbone(nn.Module):
+    """Compact strided conv pyramid: [3, H, W] -> [C, H/8, W/8]."""
+    channels: Sequence[int] = (32, 64, 128)
+
+    @nn.compact
+    def __call__(self, img_chw: jax.Array) -> jax.Array:
+        x = img_chw[None].transpose(0, 2, 3, 1)
+        for i, ch in enumerate(self.channels):
+            x = nn.Conv(ch, (3, 3), strides=2, padding="SAME",
+                        name=f"conv{i}")(x)
+            x = nn.LayerNorm(name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return x[0].transpose(2, 0, 1)
+
+
+def frustum_grid(hf: int, wf: int, depth_bins: jax.Array,
+                 img_stride: int) -> jax.Array:
+    """[D, Hf, Wf, 3] of (u, v, d) pixel/depth coordinates."""
+    us = (jnp.arange(wf, dtype=jnp.float32) + 0.5) * img_stride
+    vs = (jnp.arange(hf, dtype=jnp.float32) + 0.5) * img_stride
+    d, v, u = jnp.meshgrid(depth_bins, vs, us, indexing="ij")
+    return jnp.stack([u, v, d], axis=-1)
+
+
+def frustum_to_ego(frustum_uvd: jax.Array, intrinsics: jax.Array,
+                   cam2ego: jax.Array) -> jax.Array:
+    """(u, v, d) -> ego-frame xyz. intrinsics [3,3], cam2ego [4,4]."""
+    u, v, d = frustum_uvd[..., 0], frustum_uvd[..., 1], frustum_uvd[..., 2]
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    x = (u - cx) * d / fx
+    y = (v - cy) * d / fy
+    cam = jnp.stack([x, y, d, jnp.ones_like(d)], axis=-1)
+    ego = cam @ cam2ego.T
+    return ego[..., :3]
+
+
+class DepthLSSTransform(nn.Module):
+    """Per-camera lift-splat: image feats -> BEV canvas [C, H, W]."""
+    out_channels: int = 64
+    depth_bins: Tuple[float, float, float] = (1.0, 45.0, 0.5)  # lo, hi, step
+    img_stride: int = 8
+    bev_hw: Tuple[int, int] = (180, 180)
+    point_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+
+    def depth_values(self) -> jnp.ndarray:
+        lo, hi, step = self.depth_bins
+        return jnp.arange(lo, hi, step, dtype=jnp.float32)
+
+    @nn.compact
+    def __call__(self, img_feats: jax.Array, intrinsics: jax.Array,
+                 cam2ego: jax.Array) -> jax.Array:
+        """img_feats [V, Cf, Hf, Wf]; intrinsics [V, 3, 3];
+        cam2ego [V, 4, 4] -> BEV [out_channels, H, W]."""
+        v_num, cf, hf, wf = img_feats.shape
+        depths = self.depth_values()
+        d_num = depths.shape[0]
+        x = img_feats.transpose(0, 2, 3, 1)          # [V, Hf, Wf, Cf]
+        depth_logits = nn.Conv(d_num, (1, 1), name="depth_head")(x)
+        depth_prob = jax.nn.softmax(depth_logits, axis=-1)
+        context = nn.Conv(self.out_channels, (1, 1), name="context")(x)
+        # outer product: [V, Hf, Wf, D, C]
+        lifted = depth_prob[..., None] * context[..., None, :]
+
+        h, w = self.bev_hw
+        x0, y0 = self.point_range[0], self.point_range[1]
+        sx = (self.point_range[3] - x0) / w
+        sy = (self.point_range[4] - y0) / h
+
+        feats_all, ids_all, valid_all = [], [], []
+        for vi in range(v_num):
+            fr = frustum_grid(hf, wf, depths, self.img_stride)
+            ego = frustum_to_ego(fr, intrinsics[vi], cam2ego[vi])
+            xi = jnp.floor((ego[..., 0] - x0) / sx).astype(jnp.int32)
+            yi = jnp.floor((ego[..., 1] - y0) / sy).astype(jnp.int32)
+            ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            ids = yi * w + xi
+            # lifted is [Hf, Wf, D, C]; frustum is [D, Hf, Wf]
+            f = lifted[vi].transpose(2, 0, 1, 3).reshape(-1,
+                                                         self.out_channels)
+            ids_all.append(ids.reshape(-1))
+            valid_all.append(ok.reshape(-1))
+            feats_all.append(f)
+        feats = jnp.concatenate(feats_all)
+        ids = jnp.concatenate(ids_all)
+        ok = jnp.concatenate(valid_all)
+        canvas = bev_pool(feats, ids, ok, h * w)     # [H*W, C]
+        return canvas.reshape(h, w, self.out_channels).transpose(2, 0, 1)
+
+
+class ConvFuser(nn.Module):
+    """Concat + conv fusion of camera-BEV and lidar-BEV maps (reference
+    backbones_2d/fuser/convfuser.py)."""
+    out_channels: int = 128
+
+    @nn.compact
+    def __call__(self, cam_bev: jax.Array, lidar_bev: jax.Array) -> jax.Array:
+        x = jnp.concatenate([cam_bev, lidar_bev], axis=0)[None]
+        x = x.transpose(0, 2, 3, 1)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    name="fuse")(x)
+        x = nn.relu(nn.LayerNorm(name="ln")(x))
+        return x[0].transpose(2, 0, 1)
