@@ -43,6 +43,8 @@ def from_dict(cls: Type[T], data: Mapping[str, Any]) -> T:
     field_map = {f.name: f for f in dataclasses.fields(cls)}
     kwargs: dict[str, Any] = {}
     for k, v in data.items():
+        if k.startswith("_"):
+            continue  # comment/meta keys (e.g. "_comment")
         if k not in field_map:
             raise KeyError(f"unknown config key {k!r} for {cls.__name__}; "
                            f"valid keys: {sorted(field_map)}")

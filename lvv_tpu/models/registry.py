@@ -44,6 +44,12 @@ def _build_second(det_cfg, vox_cfg):
     return SECONDDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("PVRCNN")
+def _build_pvrcnn(det_cfg, vox_cfg):
+    from .pv_rcnn import PVRCNNDetector
+    return PVRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "

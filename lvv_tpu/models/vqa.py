@@ -239,3 +239,72 @@ def _prefix_len(cfg: ModelConfig) -> int:
     n_tokens = cfg.adapter.num_views * sam_grid_side(cfg) ** 2
     n_v = n_tokens // cfg.vat_vision.compression_factor
     return n_v + cfg.vat_lidar.n_queries + 4
+
+
+# ---------------------------------------------------------------- sampling
+
+def _sample_token(key, logits, temperature: float, top_k: int,
+                  top_p: float):
+    """Temperature + top-k + nucleus sampling over [B, V] logits."""
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None],
+                                     axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.cache
+def _sample_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
+               max_cache: int, temperature: float, top_k: int, top_p: float):
+    def impl(rng, params, batch_bev, images, view_valid, prompt_ids,
+             prompt_len):
+        b = prompt_ids.shape[0]
+        cache = init_cache(model.cfg.llm, b, max_cache, dtype=model.dtype)
+        last_logits, cache = model.apply(
+            {"params": params}, batch_bev, images, view_valid, prompt_ids,
+            prompt_len, cache, method=VQAModel.prefill)
+
+        def body(state, key):
+            last_logits, cache, done = state
+            nxt = _sample_token(key, last_logits, temperature, top_k, top_p)
+            nxt = jnp.where(done, eos_id, nxt)
+            logits, cache = model.apply({"params": params}, nxt, cache,
+                                        method=VQAModel.decode_step)
+            done = done | (nxt == eos_id)
+            return (logits, cache, done), nxt
+
+        keys = jax.random.split(rng, max_new_tokens)
+        (_, _, _), tokens = jax.lax.scan(
+            body, (last_logits, cache, jnp.zeros((b,), bool)), keys)
+        tokens = tokens.T
+        not_eos = tokens != eos_id
+        lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1),
+                          axis=1)
+        return tokens, lengths
+
+    return jax.jit(impl)
+
+
+def sample_generate(model: VQAModel, params, rng, batch_bev, images,
+                    view_valid, prompt_ids, prompt_len, *,
+                    max_new_tokens: int, eos_id: int,
+                    temperature: float = 0.7, top_k: int = 50,
+                    top_p: float = 0.9, max_cache: Optional[int] = None):
+    """Sampled decode (reference validation.py:552-580 samples with
+    temperature/top-k/top-p unless both modality toggles are off, in which
+    case use greedy_generate)."""
+    p_static = _prefix_len(model.cfg)
+    max_cache = max_cache or (p_static + prompt_ids.shape[1]
+                              + max_new_tokens + 8)
+    fn = _sample_fn(model, max_new_tokens, eos_id, max_cache,
+                    float(temperature), int(top_k), float(top_p))
+    return fn(rng, params, batch_bev, images, view_valid, prompt_ids,
+              prompt_len)

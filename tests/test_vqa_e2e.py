@@ -147,3 +147,23 @@ def test_generate_prefill_matches_forward(setup):
     want = np.stack([np.asarray(logits[i, int(seq_len[i]) - 1])
                      for i in range(2)])
     np.testing.assert_allclose(np.asarray(last), want, atol=2e-4, rtol=2e-3)
+
+
+def test_sample_generate(setup):
+    from lvv_tpu.models.vqa import sample_generate
+    cfg, model, params, batch = setup
+    prompt = batch.text_ids[:, :8]
+    plen = jnp.asarray([8, 5], jnp.int32)
+    key = jax.random.PRNGKey(7)
+    toks, lens = sample_generate(
+        model, params, key, batch.bev, batch.images, batch.view_valid,
+        prompt, plen, max_new_tokens=5, eos_id=3, temperature=1.0,
+        top_k=20, top_p=0.95)
+    assert toks.shape == (2, 5)
+    assert (np.asarray(toks) >= 0).all()
+    # same key -> deterministic; different key -> (very likely) different
+    toks2, _ = sample_generate(
+        model, params, key, batch.bev, batch.images, batch.view_valid,
+        prompt, plen, max_new_tokens=5, eos_id=3, temperature=1.0,
+        top_k=20, top_p=0.95)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
