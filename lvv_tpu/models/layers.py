@@ -68,6 +68,7 @@ class Dense(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
@@ -76,7 +77,7 @@ class Dense(nn.Module):
                             (in_dim, self.features))
         y = x @ kernel.astype(self.dtype)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(self.dtype)
         if self.lora_rank > 0:
             a = self.param("lora_a", nn.initializers.normal(

@@ -1,0 +1,163 @@
+"""TransFusion-style query-based detection head.
+
+Re-design of the reference TransFusionHead (pcdet/models/dense_heads/
+transfusion_head.py + target_assigner/hungarian_assigner.py): heatmap-
+initialized object queries cross-attend to BEV features through transformer
+decoder layers; each query predicts class scores + a box; training matches
+queries to gts one-to-one.
+
+TPU-first differences: query initialization takes the top-K heatmap peaks
+(as the reference does) but the one-to-one assignment is an auction-style
+greedy matcher expressed as K fixed matrix steps (the reference's scipy
+Hungarian runs on host and breaks the jit boundary; greedy matching on the
+same cost matrix is within-jit and, with well-separated queries, nearly
+always identical). NMS-free decode.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config.schema import VoxelizeConfig, VoxelNeXtConfig
+from ..ops.boxes import iou_aabb_bev
+from .anchor_head import smooth_l1
+from .layers import MLP, Dense, LayerNorm, MultiHeadAttention
+from .voxelnext import Detections
+
+
+class TransFusionDecoderLayer(nn.Module):
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, queries, bev_tokens):
+        q = queries + MultiHeadAttention(self.num_heads, name="self_attn")(
+            LayerNorm(name="ln1")(queries))
+        q = q + MultiHeadAttention(self.num_heads, name="cross_attn")(
+            LayerNorm(name="ln2")(q), bev_tokens)
+        q = q + MLP(4 * q.shape[-1], name="mlp")(LayerNorm(name="ln3")(q))
+        return q
+
+
+class TransFusionHead(nn.Module):
+    """BEV [C, H, W] -> num_queries object predictions."""
+    num_classes: int
+    num_queries: int = 200
+    d_model: int = 128
+    num_layers: int = 2
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, bev_chw: jax.Array) -> Dict[str, jax.Array]:
+        c, h, w = bev_chw.shape
+        tokens = bev_chw.reshape(c, h * w).T[None]          # [1, HW, C]
+        tokens = Dense(self.d_model, name="in_proj")(tokens)
+
+        # heatmap-initialized queries (reference: class heatmap top-K peaks)
+        hm = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                     bias_init=nn.initializers.constant(-4.6),
+                     name="hm")(bev_chw[None].transpose(0, 2, 3, 1))[0]
+        peak = jnp.max(jax.nn.sigmoid(hm.astype(jnp.float32)), axis=-1)
+        _, top_idx = jax.lax.top_k(peak.reshape(-1), self.num_queries)
+        q_init = tokens[0, top_idx][None]                   # [1, Q, D]
+        q_pos = jnp.stack([(top_idx % w).astype(jnp.float32),
+                           (top_idx // w).astype(jnp.float32)], axis=-1)
+        pos_emb = Dense(self.d_model, name="pos_emb")(
+            q_pos / jnp.asarray([w, h], jnp.float32))[None]
+        q = q_init + pos_emb
+
+        for i in range(self.num_layers):
+            q = TransFusionDecoderLayer(self.num_heads, name=f"layer_{i}")(
+                q, tokens)
+        q = q[0]
+        cls = Dense(self.num_classes,
+                    bias_init=nn.initializers.constant(-4.6),
+                    name="cls")(q)
+        box = Dense(8, name="box")(q)  # dxy offset, z, log dims, sin, cos
+        return {"cls": cls, "box": box, "query_yx": q_pos[:, ::-1],
+                "hm": hm}
+
+
+def decode_queries(preds: Dict, det_cfg: VoxelNeXtConfig,
+                   vox_cfg: VoxelizeConfig, stride: int) -> Detections:
+    """NMS-free decode: each query emits at most one box."""
+    scores_all = jax.nn.sigmoid(preds["cls"].astype(jnp.float32))
+    score = jnp.max(scores_all, axis=-1)
+    label = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+    b = preds["box"].astype(jnp.float32)
+    yx = preds["query_yx"]
+    vx, vy = vox_cfg.voxel_size[0], vox_cfg.voxel_size[1]
+    x0, y0 = vox_cfg.point_range[0], vox_cfg.point_range[1]
+    x = (yx[:, 1] + b[:, 0]) * stride * vx + x0
+    y = (yx[:, 0] + b[:, 1]) * stride * vy + y0
+    dims = jnp.exp(jnp.clip(b[:, 3:6], -5, 5))
+    heading = jnp.arctan2(b[:, 6], b[:, 7])
+    boxes = jnp.stack([x, y, b[:, 2], dims[:, 0], dims[:, 1], dims[:, 2],
+                       heading, jnp.zeros_like(x), jnp.zeros_like(x)],
+                      axis=1)
+    k = min(det_cfg.nms_post_max, boxes.shape[0])
+    top, idx = jax.lax.top_k(score, k)
+    valid = top > det_cfg.score_thresh
+    return Detections(boxes=boxes[idx],
+                      scores=jnp.where(valid, top, 0.0),
+                      labels=jnp.where(valid, label[idx], -1),
+                      count=jnp.sum(valid.astype(jnp.int32)))
+
+
+def greedy_one_to_one(cost: jax.Array, gt_mask: jax.Array):
+    """Greedy one-to-one matching on a [Q, G] cost matrix (in-jit stand-in
+    for the reference's host-side Hungarian). Returns (gt_of_query [Q],
+    matched mask [Q]): iteratively take the global minimum cost pair, G
+    fixed steps."""
+    q_num, g_num = cost.shape
+    big = 1e9
+    cost = jnp.where(gt_mask[None, :], cost, big)
+
+    def body(_, state):
+        c, gt_of_q = state
+        flat = jnp.argmin(c)
+        qi, gi = flat // g_num, flat % g_num
+        take = c[qi, gi] < big
+        gt_of_q = jnp.where(take, gt_of_q.at[qi].set(gi), gt_of_q)
+        c = jnp.where(take, c.at[qi, :].set(big).at[:, gi].set(big), c)
+        return c, gt_of_q
+
+    gt_of_q = jnp.full((q_num,), -1, jnp.int32)
+    _, gt_of_q = jax.lax.fori_loop(0, g_num, body, (cost, gt_of_q))
+    return gt_of_q, gt_of_q >= 0
+
+
+def transfusion_loss(preds: Dict, gt_boxes, gt_labels, gt_mask,
+                     det_cfg: VoxelNeXtConfig, vox_cfg: VoxelizeConfig,
+                     stride: int, cls_weight: float = 1.0,
+                     reg_weight: float = 0.5):
+    """Match-then-supervise (reference get_targets + loss)."""
+    dets = decode_queries(preds, det_cfg, vox_cfg, stride)
+    # cost: -IoU + center distance + class mismatch
+    iou = iou_aabb_bev(dets.boxes[:, :7], gt_boxes[:, :7])
+    dist = jnp.linalg.norm(dets.boxes[:, None, :2] - gt_boxes[None, :, :2],
+                           axis=-1)
+    cost = dist - 5.0 * iou
+    gt_of_q, matched = greedy_one_to_one(cost, gt_mask)
+    safe = jnp.maximum(gt_of_q, 0)
+
+    logits = preds["cls"].astype(jnp.float32)
+    onehot = jax.nn.one_hot(jnp.clip(gt_labels[safe], 0,
+                                     det_cfg.num_classes - 1),
+                            det_cfg.num_classes) * matched[:, None]
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * onehot + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * onehot + (1 - p) * (1 - onehot)
+    focal = 0.25 * (1 - p_t) ** 2 * ce
+    n_pos = jnp.maximum(jnp.sum(matched), 1)
+    cls_loss = jnp.sum(focal) / n_pos
+
+    # box loss in decoded space (L1 on matched queries)
+    diff = dets.boxes[:, :7] - gt_boxes[safe][:, :7]
+    reg_loss = jnp.sum(jnp.sum(smooth_l1(diff), axis=1) * matched) / n_pos
+    total = cls_weight * cls_loss + reg_weight * reg_loss
+    return total, {"tf_cls_loss": cls_loss, "tf_reg_loss": reg_loss}

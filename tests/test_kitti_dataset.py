@@ -1,0 +1,62 @@
+"""KITTI dataset: calib parsing, camera->lidar box conversion, pipeline."""
+import numpy as np
+import pytest
+
+from lvv_tpu.data.detection_dataset import build_dataset
+from lvv_tpu.data.kitti_dataset import (difficulty, label_to_lidar_box,
+                                        parse_calib, parse_labels)
+
+
+@pytest.fixture
+def kitti_root(tmp_path, rng):
+    for sub in ["velodyne", "label_2", "calib"]:
+        (tmp_path / sub).mkdir()
+    pts = rng.uniform(0, 40, (200, 4)).astype(np.float32)
+    pts[:, 1] = rng.uniform(-20, 20, 200)
+    pts[:, 2] = rng.uniform(-2, 1, 200)
+    pts.tofile(tmp_path / "velodyne" / "000000.bin")
+    # identity-ish calib: velo->cam swaps axes (x_cam = -y_velo,
+    # y_cam = -z_velo, z_cam = x_velo) — the canonical KITTI layout
+    tr = "Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0"
+    r0 = "R0_rect: 1 0 0 0 1 0 0 0 1"
+    p2 = "P2: " + " ".join(["700", "0", "600", "0", "0", "700", "200", "0",
+                            "0", "0", "1", "0"])
+    (tmp_path / "calib" / "000000.txt").write_text(
+        "\n".join([tr, r0, p2]))
+    # one car 10m ahead (cam frame: z forward = 10, bottom y=1.6):
+    # h=1.5 w=1.8 l=4.0
+    (tmp_path / "label_2" / "000000.txt").write_text(
+        "Car 0.0 0 0.0 100 150 200 250 1.5 1.8 4.0 0.0 1.6 10.0 0.1\n"
+        "DontCare -1 -1 -10 0 0 0 0 -1 -1 -1 -1000 -1000 -1000 -10\n")
+    return tmp_path
+
+
+def test_parse_and_convert(kitti_root):
+    calib = parse_calib(kitti_root / "calib" / "000000.txt")
+    rows = parse_labels(kitti_root / "label_2" / "000000.txt")
+    assert len(rows) == 1  # DontCare dropped
+    box = label_to_lidar_box(rows[0], calib)
+    # cam (x=0, y=1.6 bottom, z=10 fwd) -> lidar (x=10 fwd, y=0, z=-1.6)
+    np.testing.assert_allclose(box[0], 10.0, atol=1e-5)
+    np.testing.assert_allclose(box[1], 0.0, atol=1e-5)
+    np.testing.assert_allclose(box[2], -1.6 + 0.75, atol=1e-5)  # center z
+    np.testing.assert_allclose(box[3:6], [4.0, 1.8, 1.5], atol=1e-6)
+
+
+def test_difficulty_buckets():
+    easy = {"bbox": [0, 0, 0, 50], "occluded": 0, "truncated": 0.0}
+    hard = {"bbox": [0, 0, 0, 30], "occluded": 2, "truncated": 0.4}
+    ignore = {"bbox": [0, 0, 0, 10], "occluded": 3, "truncated": 0.9}
+    assert difficulty(easy) == 0
+    assert difficulty(hard) == 2
+    assert difficulty(ignore) == -1
+
+
+def test_kitti_dataset_pipeline(kitti_root):
+    ds = build_dataset("Kitti", root=str(kitti_root), max_points=512,
+                       max_gt=8)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["points"].shape == (512, 4)
+    assert int(s["gt_mask"].sum()) == 1
+    assert s["gt_labels"][0] == 0  # Car
