@@ -154,6 +154,32 @@ class CustomDetection(DetectionDatasetBase):
         return out
 
 
+def balanced_resample_indices(labels_per_sample, num_classes: int,
+                              seed: int = 0):
+    """CBGS class-balanced resampling (reference nuscenes_dataset.py:48-83
+    balanced_infos_resampling): duplicate sample indices so every class
+    contributes ~1/num_classes of the epoch. labels_per_sample: list of
+    int arrays (classes present in each sample)."""
+    rng = np.random.default_rng(seed)
+    cls_to_samples: Dict[int, List[int]] = {c: [] for c in range(num_classes)}
+    for i, labels in enumerate(labels_per_sample):
+        for c in set(np.asarray(labels).tolist()):
+            if 0 <= c < num_classes:
+                cls_to_samples[c].append(i)
+    total = len(labels_per_sample)
+    frac = 1.0 / num_classes
+    out: List[int] = []
+    for c, samples in cls_to_samples.items():
+        if not samples:
+            continue
+        want = int(total * frac)
+        picks = rng.choice(samples, want, replace=True)
+        out.extend(picks.tolist())
+    if not out:
+        return list(range(total))
+    return out
+
+
 @register_dataset("NuScenes")
 class NuScenesDetection(DetectionDatasetBase):
     """nuScenes keyframes with multi-sweep accumulation (reference

@@ -64,3 +64,17 @@ def test_augmented_sample_valid(custom_root):
     s = ds[npy_idx]
     assert np.isfinite(s["points"]).all()
     assert s["gt_mask"].sum() == 2
+
+
+def test_balanced_resample():
+    from lvv_tpu.data.detection_dataset import balanced_resample_indices
+    labels = [np.asarray([0]), np.asarray([0]), np.asarray([0]),
+              np.asarray([1]), np.asarray([0, 2])]
+    idx = balanced_resample_indices(labels, num_classes=3, seed=0)
+    counts = {c: 0 for c in range(3)}
+    for i in idx:
+        for c in set(labels[i].tolist()):
+            counts[c] += 1
+    # rare classes upsampled to comparable representation
+    assert counts[1] > 0 and counts[2] > 0
+    assert counts[1] >= len([i for i in range(5) if 1 in labels[i]])
