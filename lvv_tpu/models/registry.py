@@ -50,6 +50,12 @@ def _build_pvrcnn(det_cfg, vox_cfg):
     return PVRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("PointRCNN")
+def _build_pointrcnn(det_cfg, vox_cfg):
+    from .point_rcnn import PointRCNNDetector
+    return PointRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "
