@@ -43,6 +43,7 @@ def count_converted_leaves(tree) -> int:
 
 
 from .sam_torch import convert_sam_state, from_transformers_sam  # noqa: E402
+from .swin_torch import convert_swin_state  # noqa: E402
 
 __all__ = ["merge_params", "count_converted_leaves", "convert_sam_state",
            "from_transformers_sam"]

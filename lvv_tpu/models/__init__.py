@@ -20,6 +20,7 @@ from .registry import DETECTORS, build_detector, register_detector
 from .roi_head import (RoIHead, proposal_targets, refine_boxes,
                        roi_head_loss)
 from .second import SECONDDetector
+from .swin import SwinBackbone
 from .vat import NUM_VIEWS, VATBlock, VATLiDAR, VATVision, VisionAdapter
 from .voxelnext import (Detections, VoxelNeXtBackbone, VoxelNeXtDetector,
                         VoxelNeXtHead, decode_detections)
