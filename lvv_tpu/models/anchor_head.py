@@ -132,17 +132,27 @@ def assign_anchor_targets(anchors: jax.Array, anchor_cls: jax.Array,
     iou = jnp.where(same, iou, 0.0)
     best_gt = jnp.argmax(iou, axis=1)
     best_iou = jnp.max(iou, axis=1)
-    # force-match: each gt's best anchor is positive (reference behavior)
+    # force-match: each gt's best anchor is positive (reference behavior),
+    # but only for gts that overlap SOMETHING — the reference sets
+    # gt_to_anchor_max==0 rows to -1 before force-matching, so a gt with
+    # zero IoU against every same-class anchor must not mark anchor 0.
     best_anchor = jnp.argmax(iou, axis=0)              # [G]
-    forced = jnp.zeros((n,), bool).at[best_anchor].set(gt_mask)
+    gt_has_overlap = jnp.max(iou, axis=0) > 0          # [G]
+    forced = jnp.zeros((n,), bool).at[best_anchor].set(
+        gt_mask & gt_has_overlap)
     pos = (best_iou >= pos_thresh) | forced
     neg = best_iou < neg_thresh
 
     cls_tgt = jnp.where(pos, gt_labels[best_gt] + 1,
                         jnp.where(neg, 0, -1)).astype(jnp.int32)
     box_tgt = ResidualBoxCoder.encode(gt_boxes[best_gt][:, :7], anchors)
-    rot = gt_boxes[best_gt][:, 6] - anchors[:, 6]
-    dir_tgt = (limit_period(rot, 0.0, 2 * np.pi) > np.pi).astype(jnp.int32)
+    # direction bin from the ABSOLUTE gt heading (reference
+    # get_direction_target uses rot_gt = reg_targets[...,6] + anchors[...,6]
+    # = the gt angle itself, then floor(limit_period(rot_gt, 0, 2pi)/pi));
+    # decode_anchor_preds pairs this with limit_period(angle, 0, pi) below.
+    rot_gt = gt_boxes[best_gt][:, 6]
+    dir_tgt = (limit_period(rot_gt, 0.0, 2 * np.pi) >= np.pi).astype(
+        jnp.int32)
     return {"cls": cls_tgt, "box": box_tgt, "dir": dir_tgt,
             "matched_gt": best_gt}
 
@@ -199,9 +209,11 @@ def decode_anchor_preds(preds: Dict, anchors: jax.Array,
     label = jnp.argmax(scores_all, axis=1).astype(jnp.int32)
     boxes = ResidualBoxCoder.decode(preds["box"].astype(jnp.float32),
                                     anchors)
-    # direction correction (reference anchor_head_template decode)
+    # direction correction (reference anchor_head_template decode with
+    # dir_limit_offset=0: rot in [0, pi) + pi * dir_bin — consistent with
+    # the absolute-angle dir target in assign_anchor_targets)
     dir_cls = jnp.argmax(preds["dir"], axis=1)
-    rot = limit_period(boxes[:, 6], 0.5, np.pi)
+    rot = limit_period(boxes[:, 6], 0.0, np.pi)
     boxes = boxes.at[:, 6].set(rot + np.pi * dir_cls)
     k = min(det_cfg.nms_pre_max, boxes.shape[0])
     top_scores, top_idx = jax.lax.top_k(score, k)

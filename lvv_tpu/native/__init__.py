@@ -49,6 +49,8 @@ def available() -> bool:
 def load_points(path: str, max_points: int, in_dim: int = 5,
                 out_dim: int = 4) -> Tuple[np.ndarray, int]:
     """nuScenes .pcd.bin -> ([max_points, out_dim] float32, n_valid)."""
+    if out_dim > in_dim:
+        raise ValueError(f"out_dim={out_dim} > in_dim={in_dim}")
     lib = get_lib()
     out = np.zeros((max_points, out_dim), np.float32)
     if lib is not None:

@@ -46,8 +46,12 @@ def make_train_step(model, tx, mesh, donate: bool = True):
         rng, sub = jax.random.split(state.rng)
 
         def loss_fn(p):
+            # deterministic=False: configured dropout (adapter 0.05, VAT,
+            # LoRA) must be live in training, matching the reference
+            # trainer; eval keeps deterministic=True (make_eval_step).
             loss, logits, count = model.apply(
-                {"params": p}, batch, deterministic=True)
+                {"params": p}, batch, deterministic=False,
+                rngs={"dropout": sub})
             return loss, (logits, count)
 
         (loss, (_, count)), grads = jax.value_and_grad(

@@ -94,12 +94,11 @@ def average_precision(acc: Dict, min_recall: float = 0.1,
     fp = np.cumsum(acc["fp"][order])
     recall = tp / acc["n_gt"]
     precision = tp / np.maximum(tp + fp, 1e-9)
-    # interpolate on a 101-point recall grid
+    # devkit interpolation: np.interp over the RAW PR curve on a 101-point
+    # recall grid (right=0 beyond max recall) — NOT a monotone max-envelope,
+    # which slightly inflates AP relative to detection_cvpr_2019 calc_ap.
     grid = np.linspace(0, 1, 101)
-    interp = np.zeros_like(grid)
-    for k, r in enumerate(grid):
-        mask = recall >= r
-        interp[k] = precision[mask].max() if mask.any() else 0.0
+    interp = np.interp(grid, recall, precision, right=0)
     # devkit calc_ap: mean clipped precision over recall > min_recall,
     # renormalized by (1 - min_precision)
     tail = interp[grid > min_recall]

@@ -25,6 +25,7 @@ extern "C" {
 // zero-padded). Returns the number of valid rows, or -1 on IO error.
 int lvv_load_pcd(const char* path, float* out, int max_points, int in_dim,
                  int out_dim) {
+  if (out_dim > in_dim || out_dim <= 0 || in_dim <= 0) return -1;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
