@@ -182,65 +182,73 @@ def balanced_resample_indices(labels_per_sample, num_classes: int,
 
 @register_dataset("NuScenes")
 class NuScenesDetection(DetectionDatasetBase):
-    """nuScenes keyframes with multi-sweep accumulation (reference
-    nuscenes_dataset.py:101-118) and box targets from sample_annotation.
-    Requires the devkit + raw data at runtime."""
+    """nuScenes keyframes with ego-motion-compensated multi-sweep
+    accumulation and LIDAR-frame box targets.
+
+    Built on lvv_tpu.data.nuscenes_utils (the fill_trainval_infos /
+    get_lidar_with_sweeps port — reference nuscenes_dataset.py:85-118,
+    nuscenes_utils.py:312-470): every past sweep is transformed by the
+    composed ``ref_from_car @ car_from_global @ global_from_car @
+    car_from_current`` matrix and carries a time-lag 5th feature channel;
+    gt boxes are moved global -> ego -> sensor so points and boxes share
+    the keyframe LIDAR frame. Accepts either a live devkit handle (``nusc``,
+    duck-typed) or precomputed ``infos``.
+    """
 
     CLASSES = ("car", "truck", "construction_vehicle", "bus", "trailer",
                "barrier", "motorcycle", "bicycle", "pedestrian",
                "traffic_cone")
 
-    def __init__(self, dataroot: str, version: str = "v1.0-trainval",
-                 sweeps: int = 10, nusc=None, **kw):
+    def __init__(self, dataroot: Optional[str] = None,
+                 version: str = "v1.0-trainval", sweeps: int = 10,
+                 nusc=None, infos: Optional[List[Dict]] = None,
+                 balanced_resampling: bool = False, **kw):
+        kw.setdefault("num_point_features", 5)  # x y z intensity time_lag
         super().__init__(**kw)
-        if nusc is None:
-            from nuscenes import NuScenes
-            nusc = NuScenes(version=version, dataroot=dataroot,
-                            verbose=False)
-        self.nusc = nusc
+        self.root = pathlib.Path(dataroot) if dataroot else None
         self.sweeps = sweeps
-        self.samples = list(nusc.sample)
+        from .nuscenes_utils import build_sample_info, map_category
+        if infos is None:
+            if nusc is None:
+                from nuscenes import NuScenes
+                nusc = NuScenes(version=version, dataroot=dataroot,
+                                verbose=False)
+            infos = [build_sample_info(nusc, s, max_sweeps=sweeps,
+                                       dataroot=dataroot)
+                     for s in nusc.sample]
+            for info in infos:
+                keep = (info["num_lidar_pts"] + info["num_radar_pts"]) > 0
+                info["gt_boxes"] = info["gt_boxes"][keep]
+                info["gt_names"] = np.asarray(
+                    [map_category(n) or n for n in info["gt_names"]])[keep]
+        self.infos = list(infos)
+        if balanced_resampling:
+            labels = [self._labels_of(i) for i in self.infos]
+            order = balanced_resample_indices(labels, len(self.CLASSES),
+                                              seed=kw.get("seed", 0))
+            self.infos = [self.infos[i] for i in order]
+
+    def _labels_of(self, info: Dict) -> np.ndarray:
+        return np.asarray([self.CLASSES.index(n)
+                           for n in info.get("gt_names", [])
+                           if n in self.CLASSES], np.int32)
 
     def __len__(self):
-        return len(self.samples)
-
-    def _load_cloud(self, sd) -> np.ndarray:
-        path = pathlib.Path(self.nusc.dataroot) / sd["filename"]
-        from ..native import load_points
-        pts, n = load_points(str(path), self.max_points)
-        return pts[:n]
+        return len(self.infos)
 
     def load_raw(self, index: int) -> Dict:
-        sample = self.samples[index]
-        sd = self.nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
-        clouds = [self._load_cloud(sd)]
-        # accumulate previous sweeps in the keyframe's ego frame
-        prev = sd["prev"]
-        for _ in range(self.sweeps - 1):
-            if not prev:
-                break
-            sd_p = self.nusc.get("sample_data", prev)
-            clouds.append(self._load_cloud(sd_p))
-            prev = sd_p["prev"]
-        pts = np.concatenate(clouds, axis=0)
-
-        boxes, labels = [], []
-        for tok in sample["anns"]:
-            ann = self.nusc.get("sample_annotation", tok)
-            name = ann["category_name"]
-            cls = next((i for i, c in enumerate(self.CLASSES)
-                        if c in name), None)
-            if cls is None:
-                continue
-            from pyquaternion import Quaternion
-            q = Quaternion(ann["rotation"])
-            yaw = q.yaw_pitch_roll[0]
-            w, l, h = ann["size"]
-            x, y, z = ann["translation"]
-            boxes.append([x, y, z, l, w, h, yaw, 0.0, 0.0])
-            labels.append(cls)
-        out = {"points": pts, "token": sample["token"]}
-        if boxes:
-            out["gt_boxes"] = np.asarray(boxes, np.float32)
-            out["gt_labels"] = np.asarray(labels, np.int32)
+        from .nuscenes_utils import get_lidar_with_sweeps
+        info = self.infos[index]
+        pts = get_lidar_with_sweeps(info, max_sweeps=self.sweeps,
+                                    root=self.root, rng=self.rng)
+        out = {"points": pts.astype(np.float32), "token": info["token"]}
+        names = info.get("gt_names")
+        if names is not None and len(names):
+            keep = np.asarray([n in self.CLASSES for n in names], bool)
+            boxes = np.asarray(info["gt_boxes"], np.float32)[keep]
+            boxes = np.nan_to_num(boxes)  # SET_NAN_VELOCITY_TO_ZEROS
+            out["gt_boxes"] = boxes
+            out["gt_labels"] = np.asarray(
+                [self.CLASSES.index(n) for n in np.asarray(names)[keep]],
+                np.int32)
         return out

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Create nuScenes info files + gt database (the reference's
+`python -m pcdet.datasets.nuscenes.nuscenes_dataset --func
+create_nuscenes_infos` equivalent, nuscenes_dataset.py:357-434).
+
+Writes `nuscenes_infos_{N}sweeps_{train,val}.pkl` under --save-dir and,
+with --with-gt-db, the per-box point-cluster database for the gt-paste
+augmentor (lvv_tpu.data.gt_sampler).
+
+Requires the nuscenes devkit + raw data; everything underneath
+(lvv_tpu.data.nuscenes_utils) is devkit-duck-typed and unit-tested on
+fabricated tables, so this CLI is a thin shell.
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import pickle
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataroot", required=True)
+    ap.add_argument("--version", default="v1.0-trainval",
+                    choices=["v1.0-trainval", "v1.0-test", "v1.0-mini"])
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--max-sweeps", type=int, default=10)
+    ap.add_argument("--with-gt-db", action="store_true")
+    args = ap.parse_args()
+
+    from nuscenes import NuScenes
+    from nuscenes.utils import splits
+
+    from lvv_tpu.data.nuscenes_utils import (
+        create_groundtruth_database, fill_trainval_infos)
+
+    save_dir = pathlib.Path(args.save_dir or args.dataroot)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    nusc = NuScenes(version=args.version, dataroot=args.dataroot,
+                    verbose=True)
+
+    split = {"v1.0-trainval": (splits.train, splits.val),
+             "v1.0-test": (splits.test, []),
+             "v1.0-mini": (splits.mini_train, splits.mini_val)}[args.version]
+    name_to_tok = {nusc.get("scene", s["token"])["name"]: s["token"]
+                   for s in nusc.scene}
+    train_toks = [name_to_tok[n] for n in split[0] if n in name_to_tok]
+    val_toks = [name_to_tok[n] for n in split[1] if n in name_to_tok]
+
+    train, val = fill_trainval_infos(
+        nusc, train_toks, val_toks, max_sweeps=args.max_sweeps,
+        dataroot=args.dataroot)
+    tag = "test" if args.version == "v1.0-test" else "train"
+    with open(save_dir / f"nuscenes_infos_{args.max_sweeps}sweeps_{tag}.pkl",
+              "wb") as f:
+        pickle.dump(train, f)
+    print(f"{tag} samples: {len(train)}")
+    if val:
+        with open(save_dir /
+                  f"nuscenes_infos_{args.max_sweeps}sweeps_val.pkl",
+                  "wb") as f:
+            pickle.dump(val, f)
+        print(f"val samples: {len(val)}")
+
+    if args.with_gt_db and tag == "train":
+        db = create_groundtruth_database(
+            train, save_dir / f"gt_database_{args.max_sweeps}sweeps",
+            root=pathlib.Path(args.dataroot), max_sweeps=args.max_sweeps)
+        for k, v in sorted(db.items()):
+            print(f"gt database {k}: {len(v)}")
+
+
+if __name__ == "__main__":
+    main()
