@@ -109,7 +109,8 @@ def main():
     f_enc_seq = jax.jit(lambda p, x: enc.apply(
         {"params": p}, x, vv, method=lambda m, i, v: m.encode_views(i, v)))
     record("deepencoder_6view_sequential", timed(f_enc_seq, ep, im6))
-    enc_b = enc.replace(sequential_views=False)
+    enc_b = build_deepencoder(cfg.model, dtype=jnp.bfloat16,
+                              sequential_views=False)
     f_enc_bat = jax.jit(lambda p, x: enc_b.apply(
         {"params": p}, x, vv, method=lambda m, i, v: m.encode_views(i, v)))
     try:

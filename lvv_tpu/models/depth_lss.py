@@ -62,8 +62,48 @@ def frustum_to_ego(frustum_uvd: jax.Array, intrinsics: jax.Array,
     return ego[..., :3]
 
 
+def project_points_to_depth(points: jax.Array, num_points: jax.Array,
+                            intrinsics: jax.Array, cam2lidar: jax.Array,
+                            img_hw: Tuple[int, int]) -> jax.Array:
+    """LiDAR points -> per-camera sparse depth images [V, 1, H, W]
+    (reference depth_lss.py:203-243: project every point through
+    lidar2image, write its camera-frame depth into the pixel it lands on;
+    pixels with no return stay 0). Fixed shapes: the P-point scatter uses
+    mode='drop' for out-of-frame/invalid points and .min for duplicate
+    pixels (nearest return wins, vs. last-write in the reference loop)."""
+    h, w = img_hw
+    p = points[:, :3]
+    pid_valid = jnp.arange(p.shape[0]) < num_points
+    vmaps = []
+    for vi in range(cam2lidar.shape[0]):
+        rot = cam2lidar[vi, :3, :3]
+        t = cam2lidar[vi, :3, 3]
+        cam = (p - t) @ rot                         # R^T (p - t)
+        d = cam[:, 2]
+        ok = pid_valid & (d > 1e-3)
+        u = intrinsics[vi, 0, 0] * cam[:, 0] / jnp.maximum(d, 1e-3) \
+            + intrinsics[vi, 0, 2]
+        v = intrinsics[vi, 1, 1] * cam[:, 1] / jnp.maximum(d, 1e-3) \
+            + intrinsics[vi, 1, 2]
+        ui = jnp.floor(u).astype(jnp.int32)
+        vi_ = jnp.floor(v).astype(jnp.int32)
+        ok = ok & (ui >= 0) & (ui < w) & (vi_ >= 0) & (vi_ < h)
+        ui = jnp.where(ok, ui, -1)                  # drop via OOB index
+        canvas = jnp.full((h, w), jnp.inf, jnp.float32)
+        canvas = canvas.at[vi_, ui].min(
+            jnp.where(ok, d, jnp.inf), mode="drop")
+        vmaps.append(jnp.where(jnp.isfinite(canvas), canvas, 0.0))
+    return jnp.stack(vmaps)[:, None]                # [V, 1, H, W]
+
+
 class DepthLSSTransform(nn.Module):
-    """Per-camera lift-splat: image feats -> BEV canvas [C, H, W]."""
+    """Per-camera lift-splat: image feats -> BEV canvas [C, H, W].
+
+    With `depth_maps` given, matches the reference DepthLSSTransform
+    (view_transforms/depth_lss.py:42-62,156-170): the sparse lidar-depth
+    image runs through a strided conv stack (dtransform) and concatenates
+    with the image features before the depth/context heads — the lidar
+    prior is what makes it "DepthLSS" rather than plain LSS."""
     out_channels: int = 64
     depth_bins: Tuple[float, float, float] = (1.0, 45.0, 0.5)  # lo, hi, step
     img_stride: int = 8
@@ -76,13 +116,33 @@ class DepthLSSTransform(nn.Module):
 
     @nn.compact
     def __call__(self, img_feats: jax.Array, intrinsics: jax.Array,
-                 cam2ego: jax.Array) -> jax.Array:
+                 cam2ego: jax.Array, depth_maps=None) -> jax.Array:
         """img_feats [V, Cf, Hf, Wf]; intrinsics [V, 3, 3];
-        cam2ego [V, 4, 4] -> BEV [out_channels, H, W]."""
+        cam2ego [V, 4, 4]; depth_maps [V, 1, Hf*stride, Wf*stride] optional
+        -> BEV [out_channels, H, W]."""
         v_num, cf, hf, wf = img_feats.shape
         depths = self.depth_values()
         d_num = depths.shape[0]
         x = img_feats.transpose(0, 2, 3, 1)          # [V, Hf, Wf, Cf]
+        if depth_maps is not None:
+            # dtransform (reference :42-52 is 1x1 -> 5x5/s4 -> 5x5/s2 = /8;
+            # here the strided stack is derived from img_stride so any FPN
+            # level works)
+            d = depth_maps.transpose(0, 2, 3, 1)
+            d = nn.relu(nn.Conv(8, (1, 1), name="dt0")(d))
+            remaining, di, ch = self.img_stride, 1, 32
+            while remaining > 1:
+                s = min(4, remaining)
+                d = nn.relu(nn.LayerNorm(name=f"dtln{di}")(
+                    nn.Conv(ch, (5, 5), strides=s,
+                            padding=((2, 2), (2, 2)),
+                            name=f"dt{di}")(d)))
+                remaining //= s
+                di += 1
+                ch = min(ch * 2, 64)
+            x = jnp.concatenate([d, x], axis=-1)
+            x = nn.relu(nn.LayerNorm(name="mixln")(
+                nn.Conv(cf, (3, 3), padding="SAME", name="mix")(x)))
         depth_logits = nn.Conv(d_num, (1, 1), name="depth_head")(x)
         depth_prob = jax.nn.softmax(depth_logits, axis=-1)
         context = nn.Conv(self.out_channels, (1, 1), name="context")(x)

@@ -56,6 +56,12 @@ def _build_pointrcnn(det_cfg, vox_cfg):
     return PointRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("BEVFusion")
+def _build_bevfusion(det_cfg, vox_cfg):
+    from .bevfusion import BEVFusionDetector
+    return BEVFusionDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "

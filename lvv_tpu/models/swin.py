@@ -150,22 +150,34 @@ class SwinBackbone(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, img_nchw: jax.Array) -> jax.Array:
+    def __call__(self, img_nchw: jax.Array, out_indices=None):
+        """Default: final tokens [B, H'W', C'] (SwinModel.last_hidden_state
+        compatible). With `out_indices` (e.g. (1, 2, 3) — the reference
+        BEVFusion image backbone, bevfusion.yaml OUT_INDICES): a list of
+        per-stage NCHW maps [B, embed*2^i, H/4/2^i, W/4/2^i], each behind
+        its own LayerNorm like the reference mmdet Swin's per-out-index
+        norms (pcdet backbones_image/swin.py)."""
         x = jnp.transpose(img_nchw, (0, 2, 3, 1))
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=self.patch_size, padding="VALID",
                     name="patch_embed")(x)
         x = LayerNorm(eps=self.eps, name="embed_norm")(x)
 
+        pyramid = []
         for si, depth in enumerate(self.depths):
             for bi in range(depth):
                 x = SwinBlock(self.num_heads[si], self.window,
                               shift=(self.window // 2) if bi % 2 else 0,
                               mlp_ratio=self.mlp_ratio, eps=self.eps,
                               name=f"stage{si}_block{bi}")(x)
+            if out_indices is not None and si in out_indices:
+                y = LayerNorm(eps=self.eps, name=f"out_norm{si}")(x)
+                pyramid.append(jnp.transpose(y, (0, 3, 1, 2)))
             if si < len(self.depths) - 1:
                 x = PatchMerging(eps=self.eps, name=f"downsample{si}")(x)
 
+        if out_indices is not None:
+            return pyramid
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
         return LayerNorm(eps=self.eps, name="final_norm")(x)
