@@ -62,6 +62,12 @@ def _build_bevfusion(det_cfg, vox_cfg):
     return BEVFusionDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("PartA2")
+def _build_parta2(det_cfg, vox_cfg):
+    from .part_a2 import PartA2Detector
+    return PartA2Detector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "

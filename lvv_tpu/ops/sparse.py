@@ -195,6 +195,46 @@ def sparse_conv(st: SparseTensor, weights: jax.Array,
     return SparseTensor(uids, out, out_grid)
 
 
+def inverse_conv(st: SparseTensor, target_ids: jax.Array, target_grid,
+                 weights: jax.Array, bias: jax.Array | None = None,
+                 kernel: int = 3, stride: int = 2, padding: int = 1,
+                 ndim2d: bool = False) -> SparseTensor:
+    """Inverse sparse conv (spconv SparseInverseConv3d, the UNetV2 decoder's
+    upsampling op, spconv_unet.py conv_type='inverseconv').
+
+    Restores features onto a KNOWN finer active set (`target_ids` on
+    `target_grid`, sorted with SENTINEL padding — in spconv terms, the
+    saved indice_key of the forward strided conv being inverted). Gather
+    formulation: fine site f receives, through kernel offset k, the coarse
+    site g = (f + padding - k) / stride exactly when the forward conv would
+    have routed f -> g — the forward rulebook transposed.
+
+    weights: [K^d, Cin(coarse), Cout].
+    """
+    offs = _offsets(kernel, ndim2d)
+    coords = delinearize(target_ids, target_grid)
+    valid_t = target_ids != SENTINEL
+    sz = 1 if ndim2d else stride
+    strides = jnp.asarray([sz, stride, stride], jnp.int32)[None]
+    shift = padding - kernel // 2
+    shift_vec = shift * np.array([0 if ndim2d else 1, 1, 1], np.int32)[None]
+    gathered = []
+    for off in offs:
+        shifted = coords + shift_vec - jnp.asarray(off, jnp.int32)[None]
+        divisible = jnp.all(shifted % strides == 0, axis=1)
+        gid = linearize(shifted // strides, st.grid)
+        gid = jnp.where(valid_t & divisible, gid, SENTINEL)
+        slot, hit = _lookup(st.ids, gid)
+        gathered.append(jnp.where(hit[:, None], st.features[slot], 0.0))
+    stacked = jnp.stack(gathered)                 # [K, V, Cin]
+    out = jnp.einsum("kvc,kcd->vd", stacked, weights,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(valid_t[:, None], out, 0.0).astype(st.features.dtype)
+    return SparseTensor(target_ids, out, tuple(target_grid))
+
+
 def bev_collapse(st: SparseTensor, bev_capacity: int | None = None
                  ) -> SparseTensor:
     """Sum features over z per (y, x) site (reference `bev_out`
