@@ -68,6 +68,18 @@ def _build_parta2(det_cfg, vox_cfg):
     return PartA2Detector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("SECONDNetIoU")
+def _build_second_iou(det_cfg, vox_cfg):
+    from .second_iou import SECONDNetIoUDetector
+    return SECONDNetIoUDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
+@register_detector("PillarNet")
+def _build_pillarnet(det_cfg, vox_cfg):
+    from .pillarnet import PillarNetDetector
+    return PillarNetDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "

@@ -188,7 +188,7 @@ def _pad_to(x: int, m: int) -> int:
 def flash_attention(q, k, v, *, causal: bool = False,
                     kv_len: Optional[jax.Array] = None,
                     scale: Optional[float] = None,
-                    block_q: int = 128, block_k: int = 128,
+                    block_q: int = 512, block_k: int = 2048,
                     interpret: bool = False) -> jax.Array:
     """Flash attention with automatic padding to TPU tile multiples.
 
@@ -281,7 +281,7 @@ def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
 @functools.partial(jax.jit, static_argnames=("scale", "grid_w", "block_q",
                                              "block_k", "interpret"))
 def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
-                           block_q: int = 128, block_k: int = 128,
+                           block_q: int = 1024, block_k: int = 1024,
                            interpret: bool = False):
     """Self-attention with decomposed rel-pos bias, never materializing the
     [S, S] logits/bias (SAM global layers: S=4096 saves ~2.4 GB/layer/view).
