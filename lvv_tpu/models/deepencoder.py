@@ -105,7 +105,10 @@ def build_deepencoder(cfg, dtype=jnp.float32,
         depth=cfg.projector.depth, mlp_ratio=cfg.projector.mlp_ratio,
         downsample_ratio=cfg.projector.downsample_ratio, dtype=dtype)
     if sequential_views is None:
-        # auto: big image towers need the memory-lean path
-        sequential_views = cfg.sam.img_size >= 512
+        # batched is both faster (191 vs 205 ms for 6 views, r02 measured)
+        # and memory-safe now that the global layers' rel-pos bias never
+        # materializes (in-kernel flash) — the r01 remote-compiler crash
+        # that forced the sequential unroll no longer reproduces
+        sequential_views = False
     return DeepEncoder(sam=sam, clip=clip, projector=projector,
                        sequential_views=sequential_views)

@@ -80,6 +80,12 @@ def _build_pillarnet(det_cfg, vox_cfg):
     return PillarNetDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("VoxelRCNN")
+def _build_voxelrcnn(det_cfg, vox_cfg):
+    from .voxel_rcnn import VoxelRCNNDetector
+    return VoxelRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "
