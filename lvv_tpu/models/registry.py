@@ -80,6 +80,18 @@ def _build_pillarnet(det_cfg, vox_cfg):
     return PillarNetDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("PVRCNNPlusPlus")
+def _build_pvrcnn_pp(det_cfg, vox_cfg):
+    from .pv_rcnn_pp import PVRCNNPlusPlusDetector
+    return PVRCNNPlusPlusDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
+@register_detector("CaDDN")
+def _build_caddn(det_cfg, vox_cfg):
+    from .caddn import CaDDNDetector
+    return CaDDNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 @register_detector("VoxelRCNN")
 def _build_voxelrcnn(det_cfg, vox_cfg):
     from .voxel_rcnn import VoxelRCNNDetector
