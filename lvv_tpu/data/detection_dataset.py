@@ -180,6 +180,115 @@ def balanced_resample_indices(labels_per_sample, num_classes: int,
     return out
 
 
+@register_dataset("Waymo")
+class WaymoDetection(DetectionDatasetBase):
+    """Waymo Open Dataset over preprocessed infos + per-frame .npy point
+    files (reference pcdet/datasets/waymo/waymo_dataset.py:1-827: raw
+    tfrecords are decoded once by the devkit into
+    `<sequence>/{idx:04d}.npy` [N, 6] (x y z intensity elongation NLZ) and
+    info dicts carrying annos in the LIDAR frame; __getitem__ drops
+    NLZ-flagged returns, tanh-squashes intensity, and filters 'unknown'
+    boxes). Infos are passed in (or loaded from a pickle path) — the
+    tfrecord decode step needs the waymo-open-dataset package and happens
+    offline, exactly as in the reference."""
+
+    CLASSES = ("Vehicle", "Pedestrian", "Cyclist")
+
+    def __init__(self, dataroot: Optional[str] = None, infos=None,
+                 info_path: Optional[str] = None,
+                 filter_empty_boxes: bool = True, **kw):
+        kw.setdefault("num_point_features", 5)
+        super().__init__(**kw)
+        self.root = pathlib.Path(dataroot) if dataroot else None
+        if infos is None:
+            import pickle
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
+        self.infos = list(infos)
+        self.filter_empty_boxes = filter_empty_boxes
+
+    def __len__(self):
+        return len(self.infos)
+
+    def load_raw(self, index: int) -> Dict:
+        info = self.infos[index]
+        pc = info["point_cloud"]
+        path = pathlib.Path(pc["lidar_sequence"]) / \
+            f"{pc['sample_idx']:04d}.npy"
+        if self.root is not None:
+            path = self.root / path
+        pts = np.load(path).astype(np.float32)          # [N, 6]
+        pts = pts[pts[:, 5] == -1] if pts.shape[1] > 5 else pts
+        feats = np.concatenate(
+            [pts[:, :3], np.tanh(pts[:, 3:4]), pts[:, 4:5]], axis=1)
+        out = {"points": feats,
+               "token": f"{pc['lidar_sequence']}_{pc['sample_idx']}"}
+        annos = info.get("annos")
+        if annos is not None:
+            names = np.asarray(annos["name"])
+            boxes = np.asarray(annos["gt_boxes_lidar"],
+                               np.float32).reshape(len(names), -1)
+            keep = np.asarray([n in self.CLASSES for n in names], bool)
+            if self.filter_empty_boxes and "num_points_in_gt" in annos:
+                keep &= np.asarray(annos["num_points_in_gt"]) > 0
+            b9 = np.zeros((int(keep.sum()), 9), np.float32)
+            b9[:, :min(9, boxes.shape[1])] = \
+                boxes[keep][:, :min(9, boxes.shape[1])]
+            out["gt_boxes"] = b9
+            out["gt_labels"] = np.asarray(
+                [self.CLASSES.index(n) for n in names[keep]], np.int32)
+        return out
+
+
+@register_dataset("ONCE")
+class ONCEDetection(DetectionDatasetBase):
+    """ONCE dataset over info dicts + .bin point files (reference
+    pcdet/datasets/once/once_dataset.py:1-443: infos carry frame_id,
+    sequence_id, and annos {name, boxes_3d [G, 7]} already in the LIDAR
+    frame; points are float32 [N, 4])."""
+
+    CLASSES = ("Car", "Bus", "Truck", "Pedestrian", "Cyclist")
+
+    def __init__(self, dataroot: Optional[str] = None, infos=None,
+                 info_path: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.root = pathlib.Path(dataroot) if dataroot else None
+        if infos is None:
+            import pickle
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
+        self.infos = [i for i in infos if "lidar_path" in i or
+                      "frame_id" in i]
+
+    def __len__(self):
+        return len(self.infos)
+
+    def load_raw(self, index: int) -> Dict:
+        info = self.infos[index]
+        path = info.get("lidar_path") or (
+            pathlib.Path(str(info["sequence_id"])) / "lidar_roof" /
+            f"{info['frame_id']}.bin")
+        path = pathlib.Path(path)
+        if self.root is not None and not path.is_absolute():
+            path = self.root / path
+        raw = np.fromfile(path, np.float32)
+        pts = raw.reshape(-1, 4) if raw.size % 4 == 0 else \
+            raw.reshape(-1, 5)[:, :4]
+        out = {"points": pts, "token": str(info.get("frame_id", index))}
+        annos = info.get("annos")
+        if annos is not None:
+            names = np.asarray(annos["name"])
+            boxes = np.asarray(annos["boxes_3d"],
+                               np.float32).reshape(len(names), 7)
+            keep = np.asarray([n in self.CLASSES for n in names], bool)
+            b9 = np.zeros((int(keep.sum()), 9), np.float32)
+            b9[:, :7] = boxes[keep]
+            out["gt_boxes"] = b9
+            out["gt_labels"] = np.asarray(
+                [self.CLASSES.index(n) for n in names[keep]], np.int32)
+        return out
+
+
 @register_dataset("NuScenes")
 class NuScenesDetection(DetectionDatasetBase):
     """nuScenes keyframes with ego-motion-compensated multi-sweep
