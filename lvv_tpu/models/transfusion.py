@@ -130,18 +130,52 @@ def greedy_one_to_one(cost: jax.Array, gt_mask: jax.Array):
     return gt_of_q, gt_of_q >= 0
 
 
+def hungarian_one_to_one(cost: jax.Array, gt_mask: jax.Array):
+    """EXACT one-to-one assignment (reference target_assigner/
+    hungarian_assigner.py runs scipy linear_sum_assignment on the host).
+
+    jax.pure_callback ships the [Q, G] cost matrix to the host, solves it
+    exactly with scipy, and returns fixed-shape (gt_of_query [Q], matched
+    [Q]). Assignment picks targets only (no gradients flow through it), so
+    a host round trip per step is semantically free; swap in
+    greedy_one_to_one when the callback overhead matters more than the
+    assignment optimality."""
+    q_num, g_num = cost.shape
+    big = 1e9
+    cost = jnp.where(gt_mask[None, :], cost.astype(jnp.float32), big)
+
+    def _solve(c):
+        from scipy.optimize import linear_sum_assignment
+        c = np.asarray(c, np.float64)
+        rows, cols = linear_sum_assignment(c)
+        out = np.full((q_num,), -1, np.int32)
+        for r, g in zip(rows, cols):
+            if c[r, g] < big / 2:      # skip pads matched by necessity
+                out[r] = g
+        return out
+
+    gt_of_q = jax.pure_callback(
+        _solve, jax.ShapeDtypeStruct((q_num,), jnp.int32), cost,
+        vmap_method="sequential")
+    return gt_of_q, gt_of_q >= 0
+
+
 def transfusion_loss(preds: Dict, gt_boxes, gt_labels, gt_mask,
                      det_cfg: VoxelNeXtConfig, vox_cfg: VoxelizeConfig,
                      stride: int, cls_weight: float = 1.0,
-                     reg_weight: float = 0.5):
-    """Match-then-supervise (reference get_targets + loss)."""
+                     reg_weight: float = 0.5, matcher: str = "hungarian"):
+    """Match-then-supervise (reference get_targets + loss). `matcher`:
+    'hungarian' = exact host-callback assignment (reference semantics),
+    'greedy' = in-jit approximation."""
     dets = decode_queries(preds, det_cfg, vox_cfg, stride)
     # cost: -IoU + center distance + class mismatch
     iou = iou_aabb_bev(dets.boxes[:, :7], gt_boxes[:, :7])
     dist = jnp.linalg.norm(dets.boxes[:, None, :2] - gt_boxes[None, :, :2],
                            axis=-1)
     cost = dist - 5.0 * iou
-    gt_of_q, matched = greedy_one_to_one(cost, gt_mask)
+    match_fn = hungarian_one_to_one if matcher == "hungarian" \
+        else greedy_one_to_one
+    gt_of_q, matched = match_fn(jax.lax.stop_gradient(cost), gt_mask)
     safe = jnp.maximum(gt_of_q, 0)
 
     logits = preds["cls"].astype(jnp.float32)

@@ -83,6 +83,8 @@ def voxelize(points: jax.Array, num_points: jax.Array, grid: VoxelGrid,
     is_start = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
     is_start &= s_valid
     voxel_rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1   # per point
+    from .sparse import report_overflow
+    report_overflow("voxelize", voxel_rank[-1] + 1, max_voxels)
     num_voxels = jnp.clip(voxel_rank[-1] + 1, 0, max_voxels)
     within = run_ranks_sorted(s_ids)
 
@@ -135,6 +137,8 @@ def voxelize_mean(points: jax.Array, num_points: jax.Array, grid: VoxelGrid,
     is_start = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
     is_start &= s_valid
     voxel_rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    from .sparse import report_overflow
+    report_overflow("voxelize", voxel_rank[-1] + 1, max_voxels)
     num_voxels = jnp.clip(voxel_rank[-1] + 1, 0, max_voxels)
 
     keep = s_valid & (voxel_rank < max_voxels)

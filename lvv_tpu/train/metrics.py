@@ -155,20 +155,71 @@ def cider(candidates: Sequence[str], references: Sequence[str],
 
 
 def spice(candidates, references) -> Optional[float]:
-    """SPICE needs pycocoevalcap + Java (reference :150-219); gated."""
+    """SPICE F-score via pycocoevalcap's Java scene-graph scorer
+    (reference metrics.py:150-219 wires Spice().compute_score over
+    {id: [caption]} dicts). Returns None when the dependency (or its JVM)
+    is absent — this environment ships neither."""
     try:
-        from pycocoevalcap.spice.spice import Spice  # noqa
+        from pycocoevalcap.spice.spice import Spice
     except Exception:
         return None
-    return None  # full wiring when the dep exists
-
-
-def bertscore(candidates, references) -> Optional[float]:
+    gts = {i: [r] for i, r in enumerate(references)}
+    res = {i: [c] for i, c in enumerate(candidates)}
     try:
-        import bert_score  # noqa
+        score, _ = Spice().compute_score(gts, res)
+    except Exception:
+        return None   # JVM missing / scorer crashed
+    return float(score)
+
+
+def bertscore(candidates, references,
+              model_path: Optional[str] = None) -> Optional[float]:
+    """BERTScore F1. Prefers the `bert_score` package (reference
+    metrics.py:150-219); falls back to a native transformers
+    implementation — greedy token-embedding cosine matching (the
+    BERTScore definition) over a LOCAL model given via `model_path` or
+    $LVV_BERTSCORE_MODEL (zero-egress: nothing is downloaded). None when
+    neither path is available."""
+    try:
+        import bert_score
+        p, r, f1 = bert_score.score(list(candidates), list(references),
+                                    lang="en", verbose=False)
+        return float(f1.mean())
+    except Exception:
+        pass
+    import os
+    model_path = model_path or os.environ.get("LVV_BERTSCORE_MODEL")
+    if not model_path or not os.path.isdir(model_path):
+        return None
+    try:
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(model_path)
+        mdl = AutoModel.from_pretrained(model_path)
+        mdl.eval()
+
+        def embed(texts):
+            enc = tok(list(texts), return_tensors="pt", padding=True,
+                      truncation=True, max_length=128)
+            with torch.no_grad():
+                h = mdl(**enc).last_hidden_state
+            h = torch.nn.functional.normalize(h, dim=-1)
+            return h, enc["attention_mask"].bool()
+
+        ch, cm = embed(candidates)
+        rh, rm = embed(references)
+        f1s = []
+        for i in range(len(candidates)):
+            sim = ch[i][cm[i]] @ rh[i][rm[i]].T       # [Tc, Tr]
+            if sim.numel() == 0:
+                f1s.append(0.0)
+                continue
+            p = float(sim.max(dim=1).values.mean())
+            r = float(sim.max(dim=0).values.mean())
+            f1s.append(0.0 if p + r == 0 else 2 * p * r / (p + r))
+        return float(np.mean(f1s))
     except Exception:
         return None
-    return None
 
 
 # ------------------------------------------------------------- aggregation

@@ -147,6 +147,12 @@ class Trainer:
     def train(self) -> Dict:
         cfg = self.cfg
         log_path = self.out_dir / "train.log"
+        # TensorBoard scalars (reference tensorboardX at pcdet
+        # tools/train.py:117; native event writer, host 0 only)
+        from ..utils.tb_writer import SummaryWriter
+        from ..utils.logging import is_host_zero
+        tb = SummaryWriter(self.out_dir / "tensorboard") \
+            if is_host_zero() else None
         with Tee(str(log_path)):
             global_step = self.start_step
             start_epoch = global_step // self.steps_per_epoch
@@ -168,6 +174,11 @@ class Trainer:
                         log0(f"[e{epoch} s{global_step}] loss {loss:.4f} "
                              f"(avg {meter.avg:.4f}) "
                              f"gnorm {float(metrics['grad_norm']):.3f}")
+                        if tb is not None:
+                            tb.add_scalar("train/loss", loss, global_step)
+                            tb.add_scalar(
+                                "train/grad_norm",
+                                float(metrics["grad_norm"]), global_step)
                     if global_step % cfg.train.save_every_steps == 0:
                         self.ckpt.save(self.state, step=global_step,
                                        cfg=self.cfg)
@@ -178,6 +189,9 @@ class Trainer:
 
                 if (epoch + 1) % cfg.train.val_every_epochs == 0:
                     record["val_loss"] = self.validate()
+                    if tb is not None:
+                        tb.add_scalar("val/loss", record["val_loss"],
+                                      global_step)
                     if record["val_loss"] < self.best_val:
                         self.best_val = record["val_loss"]
                         self.ckpt.save(self.state, step=global_step,
@@ -190,7 +204,11 @@ class Trainer:
                                cfg=self.cfg)
                 self.history.append(record)
                 self._write_history()
+                if tb is not None:
+                    tb.flush()
                 log0(f"[epoch {epoch}] {json.dumps(record, default=str)}")
+        if tb is not None:
+            tb.close()
         return {"steps": global_step, "history": self.history}
 
     def validate(self) -> float:

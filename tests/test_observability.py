@@ -1,0 +1,157 @@
+"""Round-2 hardening: overflow telemetry, TensorBoard event writer,
+SPICE/BERTScore wiring, exact Hungarian assignment."""
+import io
+import contextlib
+import struct
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_sparse_overflow_report(capfd):
+    from lvv_tpu.ops import sparse as S
+    coords = np.stack([np.zeros(32, np.int32),
+                       np.arange(32, dtype=np.int32) // 8,
+                       np.arange(32, dtype=np.int32) % 8], 1)
+    st = S.from_voxels(jnp.asarray(coords),
+                       jnp.ones((32, 2), jnp.float32), (8, 8, 1))
+    w = jnp.ones((27, 2, 2))
+    S.set_overflow_debug(True)
+    try:
+        out = S.sparse_conv(st, w, out_capacity=2)
+        jax.block_until_ready(out.features)
+        captured = capfd.readouterr()
+        assert "capacity-overflow" in captured.out
+        assert "sparse_conv" in captured.out
+    finally:
+        S.set_overflow_debug(False)
+    out = S.sparse_conv(st, w, out_capacity=2)
+    jax.block_until_ready(out.features)
+    assert "capacity-overflow" not in capfd.readouterr().out
+
+
+def test_tb_writer_roundtrip(tmp_path):
+    """Parse our own TFRecord framing + Event protobuf back."""
+    from lvv_tpu.utils.tb_writer import SummaryWriter, masked_crc
+
+    w = SummaryWriter(tmp_path)
+    w.add_scalar("train/loss", 1.5, 7)
+    w.add_scalar("val/loss", 0.25, 8)
+    w.close()
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert len(files) == 1
+    data = files[0].read_bytes()
+
+    events = []
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack("<Q", data[off:off + 8])
+        (len_crc,) = struct.unpack("<I", data[off + 8:off + 12])
+        assert len_crc == masked_crc(data[off:off + 8])
+        payload = data[off + 12:off + 12 + length]
+        (pay_crc,) = struct.unpack(
+            "<I", data[off + 12 + length:off + 16 + length])
+        assert pay_crc == masked_crc(payload)
+        events.append(payload)
+        off += 16 + length
+    assert len(events) == 3                     # version header + 2 scalars
+    assert b"brain.Event:2" in events[0]
+    assert b"train/loss" in events[1]
+    # simple_value 1.5 little-endian float32 must appear in the record
+    assert struct.pack("<f", 1.5) in events[1]
+    assert b"val/loss" in events[2]
+
+
+def test_spice_wiring_calls_dependency(monkeypatch):
+    """Fake pycocoevalcap proves spice() actually calls through
+    (r1 stub returned None even with the dep importable)."""
+    calls = {}
+
+    class FakeSpice:
+        def compute_score(self, gts, res):
+            calls["gts"], calls["res"] = gts, res
+            return 0.42, None
+
+    mod = types.ModuleType("pycocoevalcap.spice.spice")
+    mod.Spice = FakeSpice
+    pkg = types.ModuleType("pycocoevalcap")
+    spice_pkg = types.ModuleType("pycocoevalcap.spice")
+    monkeypatch.setitem(sys.modules, "pycocoevalcap", pkg)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.spice", spice_pkg)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.spice.spice", mod)
+
+    from lvv_tpu.train.metrics import spice
+    got = spice(["a cat"], ["a black cat"])
+    assert got == pytest.approx(0.42)
+    assert calls["gts"] == {0: ["a black cat"]}
+    assert calls["res"] == {0: ["a cat"]}
+
+
+def test_bertscore_wiring_calls_dependency(monkeypatch):
+    class FakeTensor:
+        def __init__(self, v):
+            self.v = v
+
+        def mean(self):
+            return self.v
+
+    mod = types.ModuleType("bert_score")
+    mod.score = lambda c, r, **kw: (None, None, FakeTensor(0.87))
+    monkeypatch.setitem(sys.modules, "bert_score", mod)
+    from lvv_tpu.train.metrics import bertscore
+    assert bertscore(["hi"], ["hello"]) == pytest.approx(0.87)
+
+
+def test_bertscore_none_without_deps():
+    from lvv_tpu.train.metrics import bertscore, spice
+    assert "bert_score" not in sys.modules
+    assert bertscore(["hi"], ["hello"]) is None
+    assert spice(["hi"], ["hello"]) is None
+
+
+def test_hungarian_beats_greedy():
+    """Classic case where greedy is suboptimal but Hungarian is exact."""
+    from lvv_tpu.models.transfusion import (greedy_one_to_one,
+                                            hungarian_one_to_one)
+    # greedy grabs (q0, g0)=1 first, forcing (q1, g1)=10 (total 11);
+    # optimal is (q0, g1)=2 + (q1, g0)=3 (total 5)
+    cost = jnp.asarray([[1.0, 2.0], [3.0, 10.0]])
+    mask = jnp.asarray([True, True])
+    h_gt, h_m = hungarian_one_to_one(cost, mask)
+    assert h_m.all()
+    total_h = float(cost[0, h_gt[0]] + cost[1, h_gt[1]])
+    assert total_h == pytest.approx(5.0)
+    g_gt, g_m = greedy_one_to_one(cost, mask)
+    total_g = float(cost[0, g_gt[0]] + cost[1, g_gt[1]])
+    assert total_g == pytest.approx(11.0)
+
+    # padding gts never match
+    cost2 = jnp.asarray([[1.0, 0.1], [3.0, 0.2]])
+    m2 = jnp.asarray([True, False])
+    h2, hm2 = hungarian_one_to_one(cost2, m2)
+    assert int(hm2.sum()) == 1
+    assert h2[int(jnp.argmax(hm2))] == 0
+
+
+def test_transfusion_loss_hungarian_path():
+    from lvv_tpu.config import tiny_config
+    from lvv_tpu.models.transfusion import TransFusionHead, transfusion_loss
+    cfg = tiny_config()
+    det_cfg = cfg.model.voxelnext
+    head = TransFusionHead(num_classes=det_cfg.num_classes, num_queries=4,
+                           d_model=16, num_layers=1, num_heads=2)
+    bev = jnp.ones((8, 4, 4))
+    params = head.init(jax.random.PRNGKey(0), bev)
+    preds = head.apply(params, bev)
+    gt = jnp.zeros((2, 9)).at[0].set(
+        jnp.asarray([1.0, 1.0, -1.0, 4.0, 2.0, 1.5, 0.0, 0, 0]))
+    gm = jnp.asarray([True, False])
+    for matcher in ("hungarian", "greedy"):
+        loss, stats = transfusion_loss(
+            preds, gt, jnp.zeros((2,), jnp.int32), gm, det_cfg,
+            cfg.voxelize, stride=det_cfg.spatial_stride, matcher=matcher)
+        assert np.isfinite(float(loss))
