@@ -85,12 +85,13 @@ def window_unpartition(x: jax.Array, window: int, padded_hw, hw):
 
 
 def _relpos_kernel_ok(h: int, w: int, head_dim: int) -> bool:
-    """Eligibility for the in-kernel rel-pos flash path (TPU, lane-aligned
-    token grid — the 64x64 global-attention layers at the product config)."""
+    """Eligibility for the in-kernel rel-pos flash path (TPU, MXU head
+    dims). Covers BOTH the 64x64 global layers and the 14x14 windowed
+    layers — the kernel pads any S to a lane-aligned block and masks the
+    padded kv columns, so the [S, S] bias never materializes anywhere."""
     import jax as _jax
-    s = h * w
-    return (_jax.default_backend() == "tpu" and head_dim in (64, 128)
-            and s % 128 == 0 and 128 % w == 0)
+    del h, w
+    return _jax.default_backend() == "tpu" and head_dim in (64, 128)
 
 
 class SAMAttention(nn.Module):
@@ -131,9 +132,14 @@ class SAMAttention(nn.Module):
                 q_rw = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw,
                                   preferred_element_type=jnp.float32
                                   ).reshape(b, self.num_heads, h * w, w)
+                # windowed layers (196 tokens) run as one 256-padded block
+                # per (window, head) program; global layers use the tuned
+                # 1024x1024 tiles
+                blk = 256 if h * w <= 256 else 1024
                 out = flash_attention_relpos(
                     q, k, v, q_rh.astype(q.dtype), q_rw.astype(q.dtype),
-                    scale=1.0 / _math.sqrt(head_dim), grid_w=w)
+                    scale=1.0 / _math.sqrt(head_dim), grid_w=w,
+                    block_q=blk, block_k=blk)
                 out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
                 out = Dense(c, dtype=self.dtype, name="proj")(out)
                 return out.reshape(b, h, w, c)

@@ -222,13 +222,16 @@ def flash_attention(q, k, v, *, causal: bool = False,
 # ----------------------------------------------------------------------------
 
 def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
-                         acc_ref, m_ref, l_ref, *, scale: float, w: int):
+                         acc_ref, m_ref, l_ref, *, scale: float, w: int,
+                         s_valid: int):
     """Flash tile with bias computed in-kernel from the decomposed tables.
 
     qrh_ref [1,1,bq,GH]: full rows of q·Rh; qrw_ref [1,1,bq,W]: q·Rw for
     all kw. bias[q, kv] = qrh[q, kv // w] + qrw[q, kv % w]. The kh columns
-    this kv block needs are picked with a one-hot matmul (Mosaic requires
-    lane blocks of 128 or full width, so slicing the tiny GH dim is out).
+    this kv block needs are picked with one-hot matmuls (Mosaic requires
+    lane blocks of 128 or full width, so slicing the tiny GH dim is out);
+    when w | bk the width bias is a cheap tiled concat instead. `s_valid`
+    masks padded kv columns (windowed SAM: 196 true tokens in 256 pads).
     """
     bq = q_ref.shape[2]
     bk = k_ref.shape[2]
@@ -247,7 +250,6 @@ def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
     vb = v_ref[0, 0]
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    r = bk // w
     qrw = qrw_ref[0, 0].astype(jnp.float32)           # [bq, W]
     qrh = qrh_ref[0, 0].astype(jnp.float32)           # [bq, GH]
     # one-hot selector: sel[kh, col] = 1 iff kh == (k_start + col) // w
@@ -257,8 +259,18 @@ def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
     sel = (rows == (k_start + cols) // w).astype(jnp.float32)
     bias_h = jax.lax.dot_general(qrh, sel, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    bias_w = jnp.concatenate([qrw] * r, axis=1)       # [bq, bk]
+    if bk % w == 0:
+        bias_w = jnp.concatenate([qrw] * (bk // w), axis=1)   # [bq, bk]
+    else:
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
+        cols_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 1)
+        sel_w = (rows_w == (k_start + cols_w) % w).astype(jnp.float32)
+        bias_w = jax.lax.dot_general(qrw, sel_w, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
     s = s + bias_h + bias_w
+    if s_valid > 0:
+        col_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(col_ids < s_valid, s, _NEG_INF)
 
     m_prev = m_ref[:, 0]
     l_prev = l_ref[:, 0]
@@ -287,16 +299,29 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
     [S, S] logits/bias (SAM global layers: S=4096 saves ~2.4 GB/layer/view).
 
     q/k/v [B, H, S, D] with S = grid_h * grid_w; q_rh [B, H, S, grid_h] and
-    q_rw [B, H, S, grid_w] are einsum(q, Rh/Rw) — tiny. Requires
-    grid_w | block_k and S % block_q == 0.
+    q_rw [B, H, S, grid_w] are einsum(q, Rh/Rw) — tiny.
+
+    S may be any size: sequences pad up to a lane-aligned block multiple
+    and the kernel masks padded kv columns (windowed SAM: 196-token
+    windows pad to 256 and run as one block per (window, head) program).
     """
     b, h, s, d = q.shape
     gh = s // grid_w
-    assert block_k % grid_w == 0 or grid_w % block_k == 0
-    block_k = min(block_k, s)
-    block_q = min(block_q, s)
-    r = block_k // grid_w
-    kernel = functools.partial(_flash_relpos_kernel, scale=scale, w=grid_w)
+    block_k = min(block_k, _pad_to(s, _LANE))
+    block_q = min(block_q, _pad_to(s, _LANE))
+    s_pad = _pad_to(s, max(block_q, block_k))
+    block_q = min(block_q, s_pad)
+    block_k = min(block_k, s_pad)
+    s_valid = s if s_pad != s else 0        # 0 = no masking needed
+    if s_pad != s:
+        padq = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = (jnp.pad(t, padq) for t in (q, k, v))
+        q_rh = jnp.pad(q_rh, padq)
+        q_rw = jnp.pad(q_rw, padq)
+    s_out = s
+    s = s_pad
+    kernel = functools.partial(_flash_relpos_kernel, scale=scale, w=grid_w,
+                               s_valid=s_valid)
     grid = (b, h, s // block_q, s // block_k)
 
     return pl.pallas_call(
@@ -326,7 +351,7 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(q, k, v, q_rh, q_rw)
+    )(q, k, v, q_rh, q_rw)[:, :, :s_out]
 
 
 def attention(q, k, v, *, causal: bool = False,

@@ -37,3 +37,31 @@ def test_relpos_flash_matches_bias_oracle(key, gh, gw, d):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("gh,gw,d,blk", [(14, 14, 64, 256),   # SAM window
+                                         (6, 14, 64, 128)])   # ragged pad
+def test_relpos_flash_padded_window(key, gh, gw, d, blk):
+    """Non-lane-aligned S (e.g. 196-token SAM windows) pads to a block and
+    masks the padded kv columns — must still match the bias oracle."""
+    b, h = 3, 2
+    s = gh * gw
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, h, s, d))
+    k = jax.random.normal(ks[1], (b, h, s, d))
+    v = jax.random.normal(ks[2], (b, h, s, d))
+    q_rh = jax.random.normal(ks[3], (b, h, s, gh)) * 0.3
+    q_rw = jax.random.normal(ks[4], (b, h, s, gw)) * 0.3
+
+    bias = np.zeros((b, h, s, s), np.float32)
+    for i in range(s):
+        bias[..., i] = np.asarray(q_rh)[..., i // gw] + \
+            np.asarray(q_rw)[..., i % gw]
+    ref = attention_reference(q, k, v, bias=jnp.asarray(bias),
+                              scale=1.0 / math.sqrt(d))
+    out = flash_attention_relpos(q, k, v, q_rh, q_rw,
+                                 scale=1.0 / math.sqrt(d), grid_w=gw,
+                                 block_q=blk, block_k=blk, interpret=True)
+    assert out.shape == (b, h, s, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
