@@ -1,17 +1,27 @@
-"""DSVT — dynamic sparse voxel transformer backbone.
+"""DSVT — Dynamic Sparse Voxel Transformer backbone (true rotated sets).
 
-Re-design of the reference DSVT (pcdet/models/backbones_3d/dsvt.py, 616 LoC,
-built on the `ingroup_inds` CUDA op via model_utils/dsvt_utils.py): active
-voxels partition into spatial windows; each voxel gets a within-window slot
-(ingroup_inds); windows become fixed-capacity token sets; self-attention
-runs within windows; alternating blocks shift the window origin by half a
-window so information crosses window borders (the DSVT "rotated/shifted
-set" mechanic, simplified to shifted windows).
+Re-design of the reference DSVT (pcdet/models/backbones_3d/dsvt.py, 616
+LoC over the `ingroup_inds` CUDA op; "DSVT: Dynamic Sparse Voxel
+Transformer with Rotated Sets", arXiv 2301.06051). The real mechanics,
+all kept here:
 
-TPU-first: window bucketing is one sort + scatter into a dense
-[num_windows, capacity, C] tensor (static shapes, padding masked via
-kv_len), attention is the fused batched op, and the scatter-back is a
-gather by the saved slots. No serialized set-partition loops.
+- TWO window shifts per stage (shift 1 offsets the grid by half a window,
+  get_window_coors); blocks alternate which shift they use
+  (DSVTBlock.forward: shift_id = block_id % 2);
+- inside every window, voxels are ordered along an axis and chopped into
+  size-equivalent SETS of `set_size` voxels (get_set_single_shift);
+  each block runs TWO attention layers — one over the y-sorted sets, one
+  over the x-sorted sets (the "rotated set" pair, set_id = layer index);
+- learned positional embeddings of the in-window coordinates are added to
+  q/k per layer (get_pos_embed / PositionEmbeddingLearned).
+
+TPU-first shape discipline: the reference pads every set to exactly
+set_size by DUPLICATING voxels (Eq. 3 proportional selection) and masks
+duplicates; here each voxel belongs to exactly one set per (shift, axis)
+— set = in-window axis-rank // set_size — and short sets pad with masked
+slots. Both schemes attend over the same voxel groups; masking replaces
+duplication. Set bucketing is sorts + `ingroup_inds` + one scatter into a
+dense [max_sets, set_size, C] tensor; attention is the fused batched op.
 """
 from __future__ import annotations
 
@@ -24,103 +34,146 @@ from flax import linen as nn
 from ..ops.attention import attention
 from ..ops.segment import ingroup_inds, unique_with_inverse
 from ..ops.sparse import SENTINEL, SparseTensor, delinearize
+from .layers import Dense
 
 
-def window_partition_sparse(st: SparseTensor, window: Tuple[int, int, int],
-                            max_windows: int, capacity: int,
-                            shift: bool = False):
-    """-> (window_id [V], slot [V], valid [V]) bucketing of active voxels.
-
-    window ids linearize floor((coord + shift)/window); slots are the
-    within-window running index (the ingroup_inds contract). Voxels beyond
-    `capacity` slots in a window are dropped (masked) — the reference
-    handles overflow by extra set rounds; fixed capacity is the static
-    equivalent.
-    """
+def window_coords(st: SparseTensor, window: Tuple[int, int, int],
+                  shift: bool):
+    """-> (window id [V], in-window coords [V, 3] (z, y, x)) per the
+    reference get_window_coors: shift 1 offsets by half a window."""
     coords = delinearize(st.ids, st.grid)            # (z, y, x)
     wz, wy, wx = window
     off = jnp.asarray([wz // 2 if shift else 0, wy // 2 if shift else 0,
                        wx // 2 if shift else 0], jnp.int32)
-    wc = (coords + off[None]) // jnp.asarray([wz, wy, wx], jnp.int32)[None]
+    shifted = coords + off[None]
+    win = jnp.asarray([wz, wy, wx], jnp.int32)[None]
+    wc = shifted // win
+    inner = shifted - wc * win
     nx = -(-st.grid[0] // wx) + 1
     ny = -(-st.grid[1] // wy) + 1
     wid = (wc[:, 0] * ny + wc[:, 1]) * nx + wc[:, 2]
     wid = jnp.where(st.valid, wid, SENTINEL)
-    _, inverse, _, _ = unique_with_inverse(wid, SENTINEL, max_windows)
-    slot = ingroup_inds(inverse, st.valid)
-    ok = st.valid & (slot < capacity) & (slot >= 0)
-    return jnp.where(ok, inverse, max_windows - 1), \
-        jnp.where(ok, slot, capacity - 1), ok
+    inner = jnp.where(st.valid[:, None], inner, 0)
+    return wid, inner
+
+
+def rotated_set_partition(wid: jax.Array, inner: jax.Array,
+                          valid: jax.Array, window: Tuple[int, int, int],
+                          set_size: int, max_sets: int, axis: str):
+    """Axis-sorted set assignment (reference get_set_single_shift): order
+    each window's voxels by y-major or x-major in-window key, rank them
+    (ingroup_inds over the sort), and cut into sets of `set_size`.
+
+    Returns (set_row [V], col [V], ok [V]) for a scatter into
+    [max_sets, set_size] tables."""
+    wz, wy, wx = window
+    if axis == "y":
+        key = inner[:, 1] * (wz * wx) + inner[:, 2] * wz + inner[:, 0]
+    else:
+        key = inner[:, 2] * (wz * wy) + inner[:, 1] * wz + inner[:, 0]
+    max_key = wz * wy * wx
+    # rank within window under the axis order: sort by (wid, key) once
+    composite = jnp.where(valid, wid * max_key + key, SENTINEL)
+    order = jnp.argsort(composite, stable=True)
+    rank_sorted = ingroup_inds(wid[order], valid[order])
+    rank = jnp.zeros_like(rank_sorted).at[order].set(rank_sorted)
+    set_in_win = jnp.where(valid, rank // set_size, 0)
+    col = jnp.where(valid, rank % set_size, 0)
+    max_sets_per_win = -(-max_key // set_size)
+    gset = jnp.where(valid, wid * max_sets_per_win + set_in_win, SENTINEL)
+    _, inverse, _, n_unique = unique_with_inverse(gset, SENTINEL, max_sets)
+    from ..ops.sparse import report_overflow
+    report_overflow("dsvt_sets", n_unique, max_sets)
+    ok = valid & (inverse < max_sets)
+    return jnp.where(ok, inverse, max_sets - 1), col, ok
+
+
+class SetAttentionLayer(nn.Module):
+    """Pre-gather set attention + FFN (reference SetAttention +
+    DSVT_EncoderLayer): q/k get the learned in-window pos embedding."""
+    num_heads: int
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, pos: jax.Array, set_row, col, ok,
+                 max_sets: int, set_size: int) -> jax.Array:
+        c = feats.shape[-1]
+        v_in = feats + pos
+        sets = jnp.zeros((max_sets, set_size, c), feats.dtype)
+        sets = sets.at[set_row, col].set(
+            jnp.where(ok[:, None], v_in, 0.0))
+        counts = jnp.zeros((max_sets,), jnp.int32).at[set_row].add(
+            ok.astype(jnp.int32))
+
+        q = Dense(c, name="q")(sets)
+        k = Dense(c, name="k")(sets)
+        v = Dense(c, name="v")(sets)
+        hd = c // self.num_heads
+
+        def heads(x):
+            return x.reshape(max_sets, set_size, self.num_heads,
+                             hd).transpose(0, 2, 1, 3)
+
+        o = attention(heads(q), heads(k), heads(v),
+                      kv_len=jnp.maximum(counts, 1))
+        o = o.transpose(0, 2, 1, 3).reshape(max_sets, set_size, c)
+        o = Dense(c, name="proj")(o)
+        # gather back + residual + LN + FFN (reference SetAttention mlp)
+        y = feats + jnp.where(ok[:, None], o[set_row, col], 0.0)
+        y = nn.LayerNorm(name="ln1")(y)
+        h = Dense(int(c * self.mlp_ratio), name="fc1")(y)
+        h = Dense(c, name="fc2")(nn.relu(h))
+        return nn.LayerNorm(name="ln2")(y + h)
 
 
 class DSVTBlock(nn.Module):
-    """One windowed self-attention + MLP block over bucketed voxels."""
+    """Two rotated-set attention layers in one window shift (reference
+    DSVTBlock: layer 0 over y-sorted sets, layer 1 over x-sorted sets)."""
     num_heads: int
     window: Tuple[int, int, int]
-    max_windows: int
-    capacity: int
+    set_size: int
+    max_sets: int
     shift: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor) -> SparseTensor:
-        c = st.features.shape[-1]
-        win_id, slot, ok = window_partition_sparse(
-            st, self.window, self.max_windows, self.capacity, self.shift)
-
-        # scatter voxels into [W, K, C] window sets
-        sets = jnp.zeros((self.max_windows, self.capacity, c),
-                         st.features.dtype)
-        sets = sets.at[win_id, slot].set(
-            jnp.where(ok[:, None], st.features, 0.0))
-        counts = jnp.zeros((self.max_windows,), jnp.int32).at[win_id].add(
-            ok.astype(jnp.int32))
-
-        # attention within each window (kv_len masks padding slots)
-        y = nn.LayerNorm(name="ln1")(sets)
-        qkv = nn.Dense(3 * c, name="qkv")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        hd = c // self.num_heads
-
-        def heads(x):
-            w_, k_, _ = x.shape
-            return x.reshape(w_, k_, self.num_heads, hd).transpose(
-                0, 2, 1, 3)
-
-        o = attention(heads(q), heads(k), heads(v),
-                      kv_len=jnp.maximum(counts, 1))
-        o = o.transpose(0, 2, 1, 3).reshape(self.max_windows,
-                                            self.capacity, c)
-        o = nn.Dense(c, name="proj")(o)
-        sets = sets + o
-        y = nn.LayerNorm(name="ln2")(sets)
-        y = nn.Dense(2 * c, name="fc1")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(c, name="fc2")(y)
-        sets = sets + y
-
-        # gather back to the voxel list
-        out = sets[win_id, slot]
-        out = jnp.where(ok[:, None], out, st.features)
-        out = jnp.where(st.valid[:, None], out, 0.0)
-        return SparseTensor(st.ids, out, st.grid)
+        wid, inner = window_coords(st, self.window, self.shift)
+        pos = Dense(st.features.shape[-1], name="pos_embed")(
+            inner.astype(st.features.dtype)
+            / jnp.asarray(self.window, st.features.dtype)[None])
+        f = st.features
+        for li, axis in enumerate(("y", "x")):
+            row, col, ok = rotated_set_partition(
+                wid, inner, st.valid, self.window, self.set_size,
+                self.max_sets, axis)
+            f = SetAttentionLayer(self.num_heads,
+                                  name=f"layer_{li}")(
+                f, pos, row, col, ok, self.max_sets, self.set_size)
+        f = jnp.where(st.valid[:, None], f, 0.0)
+        return SparseTensor(st.ids, f, st.grid)
 
 
 class DSVTBackbone(nn.Module):
-    """Alternating plain/shifted window blocks (reference DSVT stages)."""
+    """Stage of DSVT blocks with alternating window shifts (reference
+    DSVT stage loop; shift_id = block_id % 2)."""
     channels: int = 64
     num_blocks: int = 4
     num_heads: int = 4
     window: Tuple[int, int, int] = (4, 8, 8)
-    max_windows: int = 1024
-    capacity: int = 64
+    set_size: int = 32
+    max_sets: int = 0      # 0 -> derived from voxel capacity
 
     @nn.compact
     def __call__(self, st: SparseTensor) -> SparseTensor:
-        f = nn.Dense(self.channels, name="in_proj")(st.features)
+        f = Dense(self.channels, name="in_proj")(st.features)
         f = jnp.where(st.valid[:, None], f, 0.0)
         st = SparseTensor(st.ids, f, st.grid)
+        # every voxel occupies exactly one set slot per partition, so
+        # ceil(V / set_size) sets (+1 window-straddle slack) always fit
+        max_sets = self.max_sets or \
+            (-(-st.ids.shape[0] // self.set_size) * 2)
         for i in range(self.num_blocks):
-            st = DSVTBlock(self.num_heads, self.window, self.max_windows,
-                           self.capacity, shift=bool(i % 2),
-                           name=f"block_{i}")(st)
+            st = DSVTBlock(self.num_heads, self.window,
+                           set_size=self.set_size, max_sets=max_sets,
+                           shift=bool(i % 2), name=f"block_{i}")(st)
         return st

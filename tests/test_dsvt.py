@@ -1,11 +1,13 @@
-"""DSVT backbone tests: window bucketing contract + forward/grad."""
+"""True-DSVT tests: window coords, rotated-set partition contract,
+block/backbone forward (reference dsvt.py get_window_coors /
+get_set_single_shift / DSVTBlock scheduling)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lvv_tpu.models.dsvt import (DSVTBackbone, DSVTBlock,
-                                 window_partition_sparse)
-from lvv_tpu.ops.sparse import from_voxels
+                                 rotated_set_partition, window_coords)
+from lvv_tpu.ops.sparse import delinearize, from_voxels
 
 
 def _sparse(rng, grid=(16, 16, 4), n=40, c=8, cap=64):
@@ -19,48 +21,75 @@ def _sparse(rng, grid=(16, 16, 4), n=40, c=8, cap=64):
     return from_voxels(jnp.asarray(coords), jnp.asarray(feats), grid)
 
 
-def test_window_partition_groups_neighbors(rng):
+def test_window_coords_grouping_and_shift(rng):
     st = _sparse(rng)
-    wid, slot, ok = window_partition_sparse(st, (4, 4, 4), max_windows=64,
-                                            capacity=16)
-    wid, slot, ok = np.asarray(wid), np.asarray(slot), np.asarray(ok)
-    from lvv_tpu.ops.sparse import delinearize
+    wid, inner = window_coords(st, (4, 4, 4), shift=False)
+    wid = np.asarray(wid)
     coords = np.asarray(delinearize(st.ids, st.grid))
-    for i in np.nonzero(ok)[0]:
-        for j in np.nonzero(ok)[0]:
-            same_window = (coords[i] // 4 == coords[j] // 4).all()
-            assert (wid[i] == wid[j]) == same_window
-    # slots unique within a window
-    for w in np.unique(wid[ok]):
-        s = slot[ok & (wid == w)]
-        assert len(set(s.tolist())) == len(s)
+    valid = np.asarray(st.valid)
+    for i in np.nonzero(valid)[0]:
+        for j in np.nonzero(valid)[0]:
+            same = (coords[i] // 4 == coords[j] // 4).all()
+            assert (wid[i] == wid[j]) == same
+    # in-window coords stay within the window
+    inner = np.asarray(inner)[valid]
+    assert inner.min() >= 0 and (inner < 4).all()
+    # half-window shift regroups at least one straddling pair
+    wid_s, inner_s = window_coords(st, (4, 4, 4), shift=True)
+    assert not np.array_equal(np.asarray(wid_s)[valid], wid[valid])
+
+
+def test_rotated_set_partition_contract(rng):
+    st = _sparse(rng)
+    wid, inner = window_coords(st, (4, 4, 4), shift=False)
+    valid = st.valid
+    max_sets = 64
+    rows = {}
+    for axis in ("y", "x"):
+        row, col, ok = rotated_set_partition(wid, inner, valid, (4, 4, 4),
+                                             set_size=4, max_sets=max_sets,
+                                             axis=axis)
+        row, col, okn = np.asarray(row), np.asarray(col), np.asarray(ok)
+        v = np.asarray(valid)
+        assert (okn == v).all()          # every valid voxel lands in a set
+        # (row, col) pairs unique
+        pairs = row[v] * 100 + col[v]
+        assert len(set(pairs.tolist())) == v.sum()
+        # all voxels in one set share a window
+        widn = np.asarray(wid)
+        for r in np.unique(row[v]):
+            members = v & (row == r)
+            assert len(set(widn[members].tolist())) == 1
+        rows[axis] = (row, col)
+    # the two axis partitions genuinely differ (rotated sets)
+    same = (rows["y"][0] == rows["x"][0]) & (rows["y"][1] == rows["x"][1])
+    assert not same[np.asarray(valid)].all()
 
 
 def test_dsvt_block_preserves_structure(rng):
     st = _sparse(rng)
-    blk = DSVTBlock(num_heads=2, window=(4, 4, 4), max_windows=64,
-                    capacity=16)
+    blk = DSVTBlock(num_heads=2, window=(4, 4, 4), set_size=4, max_sets=64)
     params = blk.init(jax.random.PRNGKey(0), st)
     out = blk.apply(params, st)
-    assert out.ids.shape == st.ids.shape
     np.testing.assert_array_equal(np.asarray(out.ids), np.asarray(st.ids))
-    # padded rows stay zero
     inactive = ~np.asarray(st.valid)
     assert np.abs(np.asarray(out.features)[inactive]).max() == 0
+    assert np.isfinite(np.asarray(out.features)).all()
 
 
 def test_dsvt_backbone_forward_and_grad(rng):
     st = _sparse(rng)
     bb = DSVTBackbone(channels=16, num_blocks=2, num_heads=2,
-                      window=(4, 4, 4), max_windows=64, capacity=16)
+                      window=(4, 4, 4), set_size=4)
     params = bb.init(jax.random.PRNGKey(0), st)
     out = bb.apply(params, st)
-    assert out.features.shape == (st.ids.shape[0], 16)
-    assert np.isfinite(np.asarray(out.features)).all()
+    assert out.features.shape == (64, 16)
 
     def loss(p):
-        return jnp.sum(bb.apply(p, st).features ** 2)
+        o = bb.apply(p, st)
+        return jnp.sum(o.features.astype(jnp.float32) ** 2)
 
     g = jax.grad(loss)(params)
-    assert max(float(jnp.abs(l).max())
-               for l in jax.tree_util.tree_leaves(g)) > 0
+    total = sum(float(jnp.sum(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g))
+    assert total > 0 and np.isfinite(total)
