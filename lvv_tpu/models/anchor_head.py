@@ -116,6 +116,55 @@ class AnchorHead(nn.Module):
         }
 
 
+class AnchorHeadMulti(nn.Module):
+    """Grouped multi-head anchor predictor (reference
+    dense_heads/anchor_head_multi.py: each class group gets its own conv
+    branch over the shared BEV map — SingleHead per group — and outputs
+    concatenate in global class order).
+
+    `class_groups`: tuple of per-group global class-id tuples, e.g.
+    nuScenes rpn ((0, 1), (2, 3), ...). Build the matching anchor table
+    with `multi_anchor_table`."""
+    num_classes: int
+    class_groups: Tuple[Tuple[int, ...], ...]
+    rotations: int = 2
+    code_size: int = 7
+
+    @nn.compact
+    def __call__(self, bev_chw: jax.Array) -> Dict[str, jax.Array]:
+        outs = []
+        for gi, group in enumerate(self.class_groups):
+            head = AnchorHead(num_classes=len(group),
+                              anchors_per_cell=len(group) * self.rotations,
+                              code_size=self.code_size,
+                              name=f"head_{gi}")
+            preds = head(bev_chw)
+            # lift group-local cls logits into the global class space so
+            # the shared assign/decode path applies unchanged
+            n = preds["cls"].shape[0]
+            cls_full = jnp.full((n, self.num_classes), -1e9,
+                                preds["cls"].dtype)
+            cls_full = cls_full.at[:, jnp.asarray(group)].set(preds["cls"])
+            outs.append({"cls": cls_full, "box": preds["box"],
+                         "dir": preds["dir"]})
+        return {k: jnp.concatenate([o[k] for o in outs]) for k in
+                ("cls", "box", "dir")}
+
+
+def multi_anchor_table(grid_hw, class_groups, class_sizes, point_range,
+                       stride_m, rotations=(0.0, np.pi / 2)):
+    """Anchor table matching AnchorHeadMulti's output concatenation: one
+    generate_anchors block per group (global class ids preserved)."""
+    anchors, cls = [], []
+    for group in class_groups:
+        a, c_local = generate_anchors(
+            grid_hw, [class_sizes[g] for g in group], point_range,
+            stride_m, rotations=rotations)
+        anchors.append(a)
+        cls.append(np.asarray([group[i] for i in c_local], np.int32))
+    return np.concatenate(anchors), np.concatenate(cls)
+
+
 def assign_anchor_targets(anchors: jax.Array, anchor_cls: jax.Array,
                           gt_boxes: jax.Array, gt_labels: jax.Array,
                           gt_mask: jax.Array, pos_thresh: float = 0.6,

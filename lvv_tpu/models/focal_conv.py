@@ -1,0 +1,112 @@
+"""Focal sparse convolution (learned voxel dilation).
+
+Re-design of the reference focal sparse conv
+(pcdet/models/backbones_3d/focal_sparse_conv/focal_sparse_conv.py +
+spconv_backbone_focal.py, "Focal Sparse Convolutional Networks for 3D
+Object Detection"): a submanifold conv whose active set GROWS where it
+matters — each voxel predicts a cubic importance map over its kernel
+neighborhood; high-importance empty neighbor positions join the active
+set before convolving, and features are gated by the center importance.
+Importance is supervised with voxel-in-gt-box labels (focal loss in the
+reference's get_loss).
+
+TPU-first: "above threshold" becomes a fixed top-K over all V*K^d
+candidate sites (static shapes), the set union is the framework's
+sorted-id merge, and gating keeps gradients flowing into the importance
+head without the straight-through tricks the reference needs.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.sparse import (SENTINEL, SparseTensor, _lookup, _offsets,
+                          delinearize, linearize, submanifold_conv)
+from .layers import Dense
+
+
+class FocalSparseConv(nn.Module):
+    """subm conv with learned dilation; returns (out, center_importance)."""
+    out_ch: int
+    kernel: int = 3
+    spawn: int = 256          # new active sites added (fixed top-K)
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> Tuple[SparseTensor, jax.Array]:
+        v = st.ids.shape[0]
+        offs = _offsets(self.kernel, ndim2d=False)
+        k = offs.shape[0]
+        imp = jax.nn.sigmoid(
+            Dense(k, name="importance")(st.features).astype(jnp.float32))
+        center_idx = k // 2
+        imp_center = imp[:, center_idx]
+
+        # candidate neighbor sites: coord + offset, scored by
+        # imp_center * imp_offset, only where currently EMPTY
+        coords = delinearize(st.ids, st.grid)
+        cand_ids, cand_scores = [], []
+        for oi, off in enumerate(offs):
+            if oi == center_idx:
+                continue
+            nid = linearize(coords + jnp.asarray(off, jnp.int32)[None],
+                            st.grid)
+            nid = jnp.where(st.valid, nid, SENTINEL)
+            _, hit = _lookup(st.ids, nid)
+            score = imp_center * imp[:, oi]
+            cand_ids.append(jnp.where(hit, SENTINEL, nid))
+            cand_scores.append(jnp.where(hit | ~st.valid, -1.0, score))
+        cand_ids = jnp.concatenate(cand_ids)
+        cand_scores = jnp.concatenate(cand_scores)
+        top_scores, top_idx = jax.lax.top_k(cand_scores, self.spawn)
+        new_ids = jnp.where(top_scores > 0.5, cand_ids[top_idx], SENTINEL)
+
+        # union with zero features for spawned sites (they get filled by
+        # the conv); duplicates collapse through the sorted merge
+        all_ids = jnp.concatenate([st.ids, new_ids])
+        all_feats = jnp.concatenate(
+            [st.features * imp_center[:, None].astype(st.features.dtype),
+             jnp.zeros((self.spawn, st.features.shape[1]),
+                       st.features.dtype)])
+        order = jnp.argsort(all_ids, stable=True)
+        s_ids, s_feats = all_ids[order], all_feats[order]
+        # dedupe: keep the first occurrence of each id (real voxels sort
+        # stably before spawned zeros only by position; zero features make
+        # duplicates harmless under sum)
+        is_dup = jnp.concatenate([jnp.zeros((1,), bool),
+                                  s_ids[1:] == s_ids[:-1]])
+        s_ids = jnp.where(is_dup, SENTINEL, s_ids)
+        s_feats = jnp.where(is_dup[:, None], 0.0, s_feats)
+        order2 = jnp.argsort(s_ids, stable=True)
+        expanded = SparseTensor(s_ids[order2][:v + self.spawn],
+                                s_feats[order2][:v + self.spawn], st.grid)
+
+        w = self.param("kernel_w", nn.initializers.he_normal(
+            in_axis=(0, 1), out_axis=2),
+            (k, st.features.shape[1], self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        out = submanifold_conv(expanded, w, b, kernel=self.kernel)
+        f = nn.relu(nn.LayerNorm(name="ln")(out.features))
+        f = jnp.where(out.valid[:, None], f, 0.0).astype(out.features.dtype)
+        return SparseTensor(out.ids, f, out.grid), imp_center
+
+
+def focal_importance_loss(imp_center: jax.Array, centers: jax.Array,
+                          valid: jax.Array, gt_boxes: jax.Array,
+                          gt_mask: jax.Array, alpha: float = 0.25,
+                          gamma: float = 2.0) -> jax.Array:
+    """Focal BCE on center importance vs voxel-in-gt membership
+    (reference focal_sparse_conv get_loss)."""
+    from ..ops.pool import points_in_rotated_boxes
+    inside = points_in_rotated_boxes(centers, gt_boxes[:, :7])
+    tgt = jnp.any(inside & gt_mask[None, :], axis=1).astype(jnp.float32)
+    p = jnp.clip(imp_center, 1e-6, 1 - 1e-6)
+    ce = -(tgt * jnp.log(p) + (1 - tgt) * jnp.log(1 - p))
+    p_t = p * tgt + (1 - p) * (1 - tgt)
+    a_t = alpha * tgt + (1 - alpha) * (1 - tgt)
+    focal = a_t * (1 - p_t) ** gamma * ce
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(focal * valid) / n

@@ -1,0 +1,105 @@
+"""Dynamic voxel/pillar feature encoders.
+
+Re-design of the reference's dynamic VFE family
+(pcdet/models/backbones_3d/vfe/dynamic_mean_vfe.py, dynamic_pillar_vfe.py,
+dynamic_voxel_vfe.py, vfe/__init__.py:9-18): "dynamic" means NO
+max-points-per-voxel bucketing — every in-range point contributes via
+scatter ops (torch_scatter in the reference; jax.ops.segment_* here).
+
+The framework's `ops.voxelize.voxelize_mean` already computes exactly
+DynamicMeanVFE semantics (fused voxelize + uncapped per-voxel mean);
+this module adds the decorated-point dynamic pillar encoders:
+
+- DynamicPillarVFE: per point, append cluster offset (point - pillar
+  point-mean) and pillar-center offset, pointwise Linear+LN+ReLU, then
+  segment-MAX per pillar (PFNLayerV2 semantics);
+- DynamicPillarVFESimple2D: same without the cluster branch (the
+  reference's USE_CLUSTER/ABSLOTE_XYZ toggles collapsed to its defaults).
+
+All fixed-shape: point->pillar slots come from one sort + unique, outputs
+pad to max_pillars with -1 coords.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.segment import segment_max, segment_mean, unique_with_inverse
+from ..ops.voxelize import VoxelGrid, Voxels
+from .layers import Dense
+
+
+def point_pillar_slots(points: jax.Array, num_points: jax.Array,
+                       grid: VoxelGrid, max_pillars: int):
+    """-> (slot [N] int32 in [0, max_pillars], valid [N], coords
+    [max_pillars, 3] (0, y, x), counts [max_pillars]). 2D pillar ids over
+    the xy grid; slot == max_pillars marks dropped/overflow points."""
+    nx, ny = grid.grid_size[0], grid.grid_size[1]
+    x0, y0 = grid.point_range[0], grid.point_range[1]
+    xi = jnp.floor((points[:, 0] - x0) / grid.voxel_size[0]).astype(jnp.int32)
+    yi = jnp.floor((points[:, 1] - y0) / grid.voxel_size[1]).astype(jnp.int32)
+    zok = (points[:, 2] >= grid.point_range[2]) & \
+        (points[:, 2] <= grid.point_range[5])
+    valid = ((jnp.arange(points.shape[0]) < num_points)
+             & (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny) & zok)
+    sent = jnp.int32(jnp.iinfo(jnp.int32).max)
+    pid = jnp.where(valid, yi * nx + xi, sent)
+    uids, inverse, counts, n_unique = unique_with_inverse(
+        pid, sent, max_unique=max_pillars)
+    from ..ops.sparse import report_overflow
+    report_overflow("dynamic_pillar_vfe", n_unique, max_pillars)
+    slot = jnp.where(valid, inverse, max_pillars)
+    coords = jnp.where(
+        (uids != sent)[:, None],
+        jnp.stack([jnp.zeros_like(uids), uids // nx, uids % nx], axis=1),
+        -1)
+    return slot, valid, coords.astype(jnp.int32), counts
+
+
+class DynamicPillarVFE(nn.Module):
+    """Uncapped pillar encoder (reference dynamic_pillar_vfe.py
+    PFNLayerV2 stack): decorate -> pointwise MLP -> segment max."""
+    out_ch: int = 64
+    use_cluster: bool = True
+
+    @nn.compact
+    def __call__(self, points: jax.Array, num_points: jax.Array,
+                 grid: VoxelGrid, max_pillars: int) -> Voxels:
+        n = points.shape[0]
+        slot, valid, coords, counts = point_pillar_slots(
+            points, num_points, grid, max_pillars)
+        parts = [points]
+        if self.use_cluster:
+            mean_xyz = segment_mean(
+                jnp.where(valid[:, None], points[:, :3], 0.0), slot,
+                max_pillars + 1)[:max_pillars]
+            safe = jnp.minimum(slot, max_pillars - 1)
+            parts.append(points[:, :3] - mean_xyz[safe])
+        cx = (coords[:, 2].astype(jnp.float32) + 0.5) * grid.voxel_size[0] \
+            + grid.point_range[0]
+        cy = (coords[:, 1].astype(jnp.float32) + 0.5) * grid.voxel_size[1] \
+            + grid.point_range[1]
+        safe = jnp.minimum(slot, max_pillars - 1)
+        parts.append(jnp.stack([points[:, 0] - cx[safe],
+                                points[:, 1] - cy[safe]], axis=1))
+        dec = jnp.where(valid[:, None], jnp.concatenate(parts, axis=1), 0.0)
+        h = nn.relu(nn.LayerNorm(name="ln")(Dense(self.out_ch,
+                                                  name="fc")(dec)))
+        h = jnp.where(valid[:, None], h, -jnp.inf)
+        pooled = segment_max(h, jnp.where(valid, slot, max_pillars),
+                             max_pillars + 1)[:max_pillars]
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        return Voxels(features=pooled, coords=coords,
+                      num_points=counts,
+                      num_voxels=jnp.sum((coords[:, 0] >= 0)
+                                         .astype(jnp.int32)),
+                      point_voxel=jnp.where(valid, slot, -1))
+
+
+class DynamicPillarVFESimple2D(DynamicPillarVFE):
+    """Center-offset-only variant (reference
+    dynamic_pillar_vfe_simple2d semantics)."""
+    use_cluster: bool = False
