@@ -98,6 +98,14 @@ def _build_voxelrcnn(det_cfg, vox_cfg):
     return VoxelRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("MPPNet")
+def _build_mppnet(det_cfg, vox_cfg):
+    """Refinement-only family: pair with any first-stage detector's
+    proposals (reference MPPNet consumes CenterPoint proposals)."""
+    from .mppnet import MPPNetE2E
+    return MPPNetE2E(det_cfg=det_cfg)
+
+
 def build_detector(name: str, det_cfg, vox_cfg):
     if name not in DETECTORS:
         raise KeyError(f"unknown detector {name!r}; "
