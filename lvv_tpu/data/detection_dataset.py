@@ -289,6 +289,154 @@ class ONCEDetection(DetectionDatasetBase):
         return out
 
 
+@register_dataset("Lyft")
+class LyftDetection(DetectionDatasetBase):
+    """Lyft Level-5 dataset over info dicts (reference
+    pcdet/datasets/lyft/lyft_dataset.py:43-133: same info schema as
+    nuScenes — lidar_path + transform_matrix'd sweeps — so the sweep
+    machinery is shared with lvv_tpu.data.nuscenes_utils; Lyft lidar rows
+    are float32 x 5 like nuScenes). Infos come precomputed or from a
+    live lyft-devkit handle via the same duck-typed table interface."""
+
+    CLASSES = ("car", "truck", "bus", "emergency_vehicle", "other_vehicle",
+               "motorcycle", "bicycle", "pedestrian", "animal")
+
+    def __init__(self, dataroot: Optional[str] = None, infos=None,
+                 info_path: Optional[str] = None, sweeps: int = 1, **kw):
+        kw.setdefault("num_point_features", 5)
+        super().__init__(**kw)
+        self.root = pathlib.Path(dataroot) if dataroot else None
+        self.sweeps = sweeps
+        if infos is None:
+            import pickle
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
+        self.infos = list(infos)
+
+    def __len__(self):
+        return len(self.infos)
+
+    def load_raw(self, index: int) -> Dict:
+        from .nuscenes_utils import get_lidar_with_sweeps
+        info = self.infos[index]
+        pts = get_lidar_with_sweeps(info, max_sweeps=self.sweeps,
+                                    root=self.root, rng=self.rng)
+        out = {"points": pts.astype(np.float32),
+               "token": info.get("token", str(index))}
+        names = info.get("gt_names")
+        if names is not None and len(names):
+            keep = np.asarray([n in self.CLASSES for n in names], bool)
+            boxes = np.asarray(info["gt_boxes"],
+                               np.float32).reshape(len(names), -1)[keep]
+            b9 = np.zeros((len(boxes), 9), np.float32)
+            b9[:, :min(9, boxes.shape[1])] = boxes[:, :9]
+            out["gt_boxes"] = b9
+            out["gt_labels"] = np.asarray(
+                [self.CLASSES.index(n) for n in np.asarray(names)[keep]],
+                np.int32)
+        return out
+
+
+@register_dataset("Pandaset")
+class PandasetDetection(DetectionDatasetBase):
+    """Pandaset over preprocessed infos (reference
+    pcdet/datasets/pandaset/pandaset_dataset.py:101-130: raw pandas
+    pkl.gz frames are decoded offline into ego-frame points + boxes; the
+    loader consumes {lidar_path (npy), gt_boxes, gt_names})."""
+
+    CLASSES = ("Car", "Pedestrian", "Pickup Truck", "Semi-truck",
+               "Cyclist")
+
+    def __init__(self, dataroot: Optional[str] = None, infos=None,
+                 info_path: Optional[str] = None, classes=None, **kw):
+        super().__init__(**kw)
+        self.root = pathlib.Path(dataroot) if dataroot else None
+        if classes is not None:
+            self.CLASSES = tuple(classes)
+        if infos is None:
+            import pickle
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
+        self.infos = list(infos)
+
+    def __len__(self):
+        return len(self.infos)
+
+    def load_raw(self, index: int) -> Dict:
+        info = self.infos[index]
+        path = pathlib.Path(info["lidar_path"])
+        if self.root is not None and not path.is_absolute():
+            path = self.root / path
+        pts = np.load(path).astype(np.float32) if path.suffix == ".npy" \
+            else np.fromfile(path, np.float32).reshape(
+                -1, self.num_point_features)
+        out = {"points": pts[:, :self.num_point_features],
+               "token": f"{info.get('sequence', 0)}_"
+                        f"{info.get('frame_idx', index)}"}
+        names = info.get("gt_names")
+        if names is not None and len(names):
+            keep = np.asarray([n in self.CLASSES for n in names], bool)
+            boxes = np.asarray(info["gt_boxes"],
+                               np.float32).reshape(len(names), -1)[keep]
+            b9 = np.zeros((len(boxes), 9), np.float32)
+            b9[:, :min(9, boxes.shape[1])] = boxes[:, :9]
+            out["gt_boxes"] = b9
+            out["gt_labels"] = np.asarray(
+                [self.CLASSES.index(n) for n in np.asarray(names)[keep]],
+                np.int32)
+        return out
+
+
+@register_dataset("Argo2")
+class Argo2Detection(DetectionDatasetBase):
+    """Argoverse 2 sensor dataset over preprocessed infos (reference
+    pcdet/datasets/argo2/argo2_dataset.py:218-310: the av2 feather sweeps
+    are decoded offline into velodyne/<id>.bin [N, 4] + info annos
+    {name, gt_boxes_lidar})."""
+
+    CLASSES = ("Regular_vehicle", "Pedestrian", "Bicyclist", "Bicycle",
+               "Bus", "Truck", "Motorcyclist", "Motorcycle")
+
+    def __init__(self, dataroot: Optional[str] = None, infos=None,
+                 info_path: Optional[str] = None, classes=None, **kw):
+        super().__init__(**kw)
+        self.root = pathlib.Path(dataroot) if dataroot else None
+        if classes is not None:
+            self.CLASSES = tuple(classes)
+        if infos is None:
+            import pickle
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
+        self.infos = list(infos)
+
+    def __len__(self):
+        return len(self.infos)
+
+    def load_raw(self, index: int) -> Dict:
+        info = self.infos[index]
+        sid = info.get("sample_idx", info.get("frame_id", index))
+        path = pathlib.Path(info.get("lidar_path",
+                                     f"velodyne/{sid}.bin"))
+        if self.root is not None and not path.is_absolute():
+            path = self.root / path
+        pts = np.fromfile(path, np.float32).reshape(-1, 4)
+        out = {"points": pts[:, :self.num_point_features],
+               "token": str(sid)}
+        annos = info.get("annos")
+        if annos is not None and len(annos.get("name", [])):
+            names = np.asarray(annos["name"])
+            boxes = np.asarray(annos["gt_boxes_lidar"],
+                               np.float32).reshape(len(names), -1)
+            keep = np.asarray([n in self.CLASSES for n in names], bool)
+            b9 = np.zeros((int(keep.sum()), 9), np.float32)
+            b9[:, :min(9, boxes.shape[1])] = \
+                boxes[keep][:, :min(9, boxes.shape[1])]
+            out["gt_boxes"] = b9
+            out["gt_labels"] = np.asarray(
+                [self.CLASSES.index(n) for n in names[keep]], np.int32)
+        return out
+
+
 @register_dataset("NuScenes")
 class NuScenesDetection(DetectionDatasetBase):
     """nuScenes keyframes with ego-motion-compensated multi-sweep
