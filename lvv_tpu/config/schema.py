@@ -147,6 +147,13 @@ class VoxelNeXtConfig:
     out_channels: int = 128
     spatial_stride: int = 8
     kernel_size: int = 3
+    # Per-downsample-stage active-voxel capacities. None -> the legacy
+    # cap*3//4 shrink from the voxelizer capacity (conservative: real
+    # nuScenes@0.075m counts shrink ~2x per stride because surfaces stay
+    # sparse). The default_config preset pins an audited schedule; the
+    # ops-level overflow telemetry (ops.sparse.set_overflow_debug) guards
+    # any retuning.
+    capacity_schedule: Optional[Tuple[int, ...]] = None
     num_classes: int = 10
     class_names: Tuple[str, ...] = (
         "car", "truck", "construction_vehicle", "bus", "trailer",

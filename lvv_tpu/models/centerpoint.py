@@ -40,8 +40,10 @@ class CenterPointBackbone3D(nn.Module):
         cap = self.capacity
         st = SparseConvLayer(chs[0], name="conv_input")(st)
         st = SparseBasicBlock(chs[0], name="res1")(st)
+        sched = getattr(self.cfg, "capacity_schedule", None)
         for i, ch in enumerate(chs[1:], start=1):
-            cap = max(cap * 3 // 4, 1024)
+            cap = sched[i - 1] if sched and i - 1 < len(sched) else \
+                max(cap * 3 // 4, 1024)
             st = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
                                  name=f"down{i}")(st)
             st = SparseBasicBlock(ch, name=f"res{i + 1}")(st)

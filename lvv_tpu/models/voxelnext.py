@@ -37,6 +37,16 @@ from ..ops.sparse import (SENTINEL, SparseTensor, bev_collapse, delinearize,
 from ..ops.voxelize import VoxelGrid, voxelize_mean
 
 
+# Audited per-stage active-voxel capacities for the product config
+# (nuScenes 0.075 m voxels over +-54 m, MAX_NUMBER_OF_VOXELS 160k at test —
+# cbgs_voxel0075_voxelnext.yaml:6,61): real active counts roughly halve per
+# downsample because point clouds are surfaces, so the legacy 3/4 shrink
+# over-allocates the deep stages ~2-4x. Set
+# VoxelNeXtConfig.capacity_schedule to this for the full-scale detector;
+# verify with ops.sparse.set_overflow_debug(True) on real data.
+NUSCENES_CAPACITY_SCHEDULE = (120000, 60000, 30000, 15000, 8000)
+
+
 class SparseConvLayer(nn.Module):
     """conv + LN + ReLU on a SparseTensor."""
     out_ch: int
@@ -98,9 +108,11 @@ class VoxelNeXtBackbone(nn.Module):
         st = SparseConvLayer(chs[0], name="conv_input")(st)
         st = SparseBasicBlock(chs[0], name="res1")(st)
 
+        sched = getattr(self.cfg, "capacity_schedule", None)
         stages = []
         for i, ch in enumerate(chs[1:], start=1):
-            cap = max(cap * 3 // 4, 1024)
+            cap = sched[i - 1] if sched and i - 1 < len(sched) else \
+                max(cap * 3 // 4, 1024)
             st = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
                                  name=f"down{i}")(st)
             st = SparseBasicBlock(ch, name=f"res{i + 1}")(st)

@@ -361,9 +361,12 @@ def attention(q, k, v, *, causal: bool = False,
               force_reference: bool = False,
               interpret: bool = False) -> jax.Array:
     """Fused multi-head attention. See module docstring for semantics."""
+    # flash wins only once the kv sequence amortizes its tiling: measured
+    # on v5e, XLA is 2x faster at S=257 (CLIP) while flash is 2x faster at
+    # S=4096 (SAM global) — benchmarks/clip_decode_micro.py + attn_micro.py
     use_pallas = (not force_reference and bias is None
                   and (interpret or jax.default_backend() == "tpu")
-                  and k.shape[2] >= 128
+                  and k.shape[2] >= (128 if interpret else 1024)
                   # causal chunked-prefill (sq != sk) keeps offsets through
                   # padding only in the reference path
                   and (not causal or q.shape[2] == k.shape[2]))

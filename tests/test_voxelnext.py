@@ -118,3 +118,27 @@ def test_detector_grad_flow(det):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert max(float(jnp.abs(l).max()) for l in leaves) > 0
+
+
+def test_capacity_schedule_honored():
+    """A configured per-stage capacity schedule overrides the legacy 3/4
+    shrink (audited nuScenes preset: models/voxelnext.py
+    NUSCENES_CAPACITY_SCHEDULE)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lvv_tpu.config import tiny_config
+    from lvv_tpu.models.registry import build_detector
+
+    cfg = tiny_config()
+    det_cfg = dataclasses.replace(cfg.model.voxelnext,
+                                  capacity_schedule=(48, 24, 12, 12, 12))
+    det = build_detector("VoxelNeXt", det_cfg, cfg.voxelize)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-7.5, 7.5, (200, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2.5, 0.5, 200)
+    params = det.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                      jnp.int32(200))
+    out = det.apply(params, jnp.asarray(pts), jnp.int32(200))
+    assert np.isfinite(np.asarray(out["bev_dense"])).all()
