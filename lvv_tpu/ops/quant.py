@@ -1,0 +1,107 @@
+"""int8 weight quantization + dequantizing matmul kernel.
+
+The KV-cached decode path streams the LLM's weight matrices from HBM
+every step. XLA cannot exploit int8 storage — it materializes the
+int8->bf16 convert instead of fusing it into the dot (measured,
+benchmarks/int8_micro.py) — so this Pallas kernel loads int8 tiles into
+VMEM and dequantizes in-register, halving weight HBM traffic.
+
+Measured caveat (benchmarks/quant_micro.py on v5e): at Qwen-0.5B decode
+shapes the win is only ~10% (81 vs 90 us on the MLP pair, parity on
+qkv) — single-row matvecs sit on a per-op latency floor ~4x above the
+bandwidth roofline, so halving bytes barely moves the needle. The kernel
+pays off for LARGER quantized matmuls (serving batches, bigger models);
+LLM decode integration is deliberately not wired until it would.
+
+Layout: per-output-channel symmetric quantization
+  w_q[k, n] = round(w[k, n] / scale[n]),  scale[n] = max_k |w[k, n]| / 127
+matmul: out[m, n] = (x @ w_q)[m, n] * scale[n]  (+ bias).
+
+The kernel tiles N (and K when K exceeds VMEM); M is the tiny decode
+batch, padded to the 8-row sublane. CPU/interpret fall back to the plain
+dequantized einsum (same math) so tests run everywhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[K, N] float -> (int8 [K, N], scale [N] f32)."""
+    w = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    x = x_ref[...]                                  # [M, bk]
+    w = w_ref[...].astype(jnp.bfloat16)             # [bk, bn] (dequant in
+    s = s_ref[0].astype(jnp.float32)                # registers); s [1, bn]
+    acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    o_ref[...] += (acc * s[None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def quantized_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+                     bias: Optional[jax.Array] = None,
+                     block_n: int = 512, block_k: int = 1024,
+                     interpret: bool = False) -> jax.Array:
+    """x [M, K] (bf16/f32) @ int8 w_q [K, N] * scale [N] -> [M, N].
+
+    Pallas on TPU (int8 tiles stream from HBM, dequant in-register);
+    reference einsum elsewhere.
+    """
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and scale.shape == (n,)
+    use_pallas = interpret or jax.default_backend() == "tpu"
+    if not use_pallas:
+        out = (x.astype(jnp.float32)
+               @ (w_q.astype(jnp.float32) * scale[None, :]))
+        out = out.astype(x.dtype)
+        return out + bias if bias is not None else out
+
+    # pad M to the 8-row sublane, K/N to block multiples
+    m_p = max(8, -(-m // 8) * 8)
+    bk = min(block_k, k)
+    bn = min(block_n, n)
+    k_p = -(-k // bk) * bk
+    n_p = -(-n // bn) * bn
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, m_p - m), (0, k_p - k)))
+    wp = jnp.pad(w_q, ((0, k_p - k), (0, n_p - n)))
+    # 2-D scale: 1-D operands hit XLA/Mosaic layout-tiling mismatches
+    sp = jnp.pad(scale.astype(jnp.float32), (0, n_p - n))[None]
+
+    out = pl.pallas_call(
+        functools.partial(_qmv_kernel, out_dtype=x.dtype),
+        grid=(n_p // bn, k_p // bk),
+        in_specs=[
+            pl.BlockSpec((m_p, bk), lambda j, i: (0, i)),
+            pl.BlockSpec((bk, bn), lambda j, i: (i, j)),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((m_p, bn), lambda j, i: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xp, wp, sp)
+    out = out[:m, :n].astype(x.dtype)
+    return out + bias if bias is not None else out
