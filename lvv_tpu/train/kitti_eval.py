@@ -61,6 +61,101 @@ def ap_r40(all_scores: np.ndarray, all_tp: np.ndarray, n_gt: int) -> float:
     return float(ap)
 
 
+# ---------------------------------------------------------------- official
+# Difficulty + ignored-box semantics of the official devkit
+# (reference kitti_object_eval_python/eval.py clean_data:84-130):
+# per-difficulty thresholds on 2D-bbox height / occlusion / truncation,
+# "similar class" gts (Van for Car, Person_sitting for Pedestrian) ignored
+# rather than penalized, and gts beyond the difficulty counted as ignored
+# so detections matched to them are neither TP nor FP.
+
+MIN_HEIGHT = (40.0, 25.0, 25.0)
+MAX_OCCLUSION = (0, 1, 2)
+MAX_TRUNCATION = (0.15, 0.30, 0.50)
+DIFFICULTY_NAMES = ("easy", "moderate", "hard")
+SIMILAR = {"Car": ("Van",), "Pedestrian": ("Person_sitting",),
+           "car": ("van",), "pedestrian": ("person_sitting",)}
+
+
+def clean_data(gt: Dict, cls: str, difficulty: int):
+    """-> gt flags: 0 counted / 1 ignored / -1 rejected (clean_data port).
+
+    gt: {name [G], boxes [G, 7], occluded [G], truncated [G],
+    bbox_height [G]} (image-plane fields default to easy when absent)."""
+    names = np.asarray(gt["name"])
+    g = len(names)
+    occ = np.asarray(gt.get("occluded", np.zeros(g)))
+    trunc = np.asarray(gt.get("truncated", np.zeros(g)))
+    height = np.asarray(gt.get("bbox_height", np.full(g, 100.0)))
+    flags = np.full(g, -1, np.int64)
+    same = names == cls
+    similar = np.isin(names, SIMILAR.get(cls, ()))
+    beyond = ((occ > MAX_OCCLUSION[difficulty])
+              | (trunc > MAX_TRUNCATION[difficulty])
+              | (height < MIN_HEIGHT[difficulty]))
+    flags[same & ~beyond] = 0
+    flags[same & beyond] = 1
+    flags[similar] = 1
+    return flags
+
+
+def evaluate_kitti_official(gts: Sequence[Dict], preds: Sequence[Dict],
+                            classes: Sequence[str],
+                            iou_thresholds: Dict[str, float] | None = None,
+                            mode: str = "3d") -> Dict[str, float]:
+    """Official-style per-difficulty AP_R40 (reference eval.py
+    eval_class:...do_eval). gts per sample: {name, boxes [G, 7] (lidar),
+    occluded, truncated, bbox_height}; preds: {name, boxes, score}.
+    -> {<cls>_<difficulty>_ap_<mode>_R40, mAP_<difficulty>}."""
+    iou_thresholds = iou_thresholds or {}
+    out: Dict[str, float] = {}
+    for difficulty in range(3):
+        aps = []
+        for cls in classes:
+            th = iou_thresholds.get(
+                cls, 0.7 if cls.lower() == "car" else 0.5)
+            scores_l, tp_l, n_gt = [], [], 0
+            for g, p in zip(gts, preds):
+                flags = clean_data(g, cls, difficulty)
+                gb = np.asarray(g["boxes"], np.float32).reshape(-1, 7)
+                pn = np.asarray(p["name"])
+                keep_p = pn == cls
+                pb = np.asarray(p["boxes"],
+                                np.float32).reshape(-1, 7)[keep_p]
+                ps = np.asarray(p["score"], np.float32)[keep_p]
+                counted = flags == 0
+                considered = flags >= 0
+                n_gt += int(counted.sum())
+                # match against ALL same/similar-class gts; ignored
+                # matches drop from scoring (official tp/fp semantics)
+                order = np.argsort(-ps)
+                iou = _pair_iou(pb[order], gb[considered], mode)
+                idx_map = np.nonzero(considered)[0]
+                taken = np.zeros(len(idx_map), bool)
+                tp = np.zeros(len(pb), bool)
+                ignored = np.zeros(len(pb), bool)
+                for i in range(len(pb)):
+                    cand = np.nonzero(~taken & (iou[i] >= th))[0]
+                    if len(cand) == 0:
+                        continue
+                    best = cand[np.argmax(iou[i, cand])]
+                    taken[best] = True
+                    if counted[idx_map[best]]:
+                        tp[i] = True
+                    else:
+                        ignored[i] = True
+                scores_l.append(ps[order][~ignored])
+                tp_l.append(tp[~ignored])
+            scores = np.concatenate(scores_l) if scores_l else np.zeros(0)
+            tps = np.concatenate(tp_l) if tp_l else np.zeros(0, bool)
+            ap = ap_r40(scores, tps, n_gt)
+            out[f"{cls}_{DIFFICULTY_NAMES[difficulty]}_ap_{mode}_R40"] = ap
+            aps.append(ap)
+        out[f"mAP_{DIFFICULTY_NAMES[difficulty]}"] = \
+            float(np.mean(aps)) if aps else 0.0
+    return out
+
+
 def evaluate_kitti(preds: Sequence[Dict], gts: Sequence[Dict],
                    classes: Sequence[str],
                    iou_thresholds: Dict[str, float] | None = None,

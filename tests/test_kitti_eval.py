@@ -1,5 +1,6 @@
 """KITTI-style AP tests."""
 import numpy as np
+import pytest
 
 from lvv_tpu.train.kitti_eval import ap_r40, evaluate_kitti, match_sample
 
@@ -30,3 +31,46 @@ def test_evaluate_kitti_classes():
     assert out["car_ap_3d_R40"] > 0.9      # near-perfect at 0.7 IoU
     assert out["pedestrian_ap_3d_R40"] == 0.0  # 2m off at 0.5 IoU
     assert 0 < out["mAP_3d_R40"] < 1
+
+
+def test_official_difficulty_buckets():
+    """clean_data semantics: occlusion/truncation/height gate difficulty;
+    similar classes and beyond-difficulty gts are ignored, not penalized
+    (reference kitti_object_eval_python/eval.py clean_data:84-130)."""
+    from lvv_tpu.train.kitti_eval import clean_data, evaluate_kitti_official
+
+    def box7(x, y):
+        return [x, y, 0.0, 4.0, 2.0, 1.5, 0.0]
+
+    gt = {"name": np.array(["Car", "Car", "Van", "Pedestrian"]),
+          "boxes": np.array([box7(0, 0), box7(10, 0), box7(20, 0),
+                             box7(30, 0)], np.float32),
+          "occluded": np.array([0, 2, 0, 0]),
+          "truncated": np.array([0.0, 0.0, 0.0, 0.0]),
+          "bbox_height": np.array([50.0, 50.0, 50.0, 50.0])}
+    f_easy = clean_data(gt, "Car", 0)
+    # heavily occluded Car ignored at easy, Van ignored (similar),
+    # Pedestrian rejected
+    assert f_easy.tolist() == [0, 1, 1, -1]
+    f_hard = clean_data(gt, "Car", 2)
+    assert f_hard.tolist() == [0, 0, 1, -1]
+
+    # detections on the ignored (occluded) gt must not be easy-FPs
+    pred = [{"name": np.array(["Car", "Car"]),
+             "boxes": np.array([box7(0, 0), box7(10, 0)], np.float32),
+             "score": np.array([0.9, 0.8])}]
+    res = evaluate_kitti_official([gt], pred, ["Car"])
+    assert res["Car_easy_ap_3d_R40"] == pytest.approx(1.0)
+    assert res["Car_hard_ap_3d_R40"] == pytest.approx(1.0)
+    # a detection on the Van is likewise ignored (similar class)
+    pred2 = [{"name": np.array(["Car", "Car"]),
+              "boxes": np.array([box7(0, 0), box7(20, 0)], np.float32),
+              "score": np.array([0.9, 0.8])}]
+    res2 = evaluate_kitti_official([gt], pred2, ["Car"])
+    assert res2["Car_easy_ap_3d_R40"] == pytest.approx(1.0)
+    # but a detection on empty space IS a false positive
+    pred3 = [{"name": np.array(["Car", "Car"]),
+              "boxes": np.array([box7(0, 0), box7(99, 99)], np.float32),
+              "score": np.array([0.5, 0.9])}]
+    res3 = evaluate_kitti_official([gt], pred3, ["Car"])
+    assert res3["Car_easy_ap_3d_R40"] < 1.0
