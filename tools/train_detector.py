@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Detector training CLI (reference src/lidar-encoder/tools/train.py:68-229).
 
-Trains a registered detector (VoxelNeXt / PointPillars) on nuScenes-style
+Trains any registered detector family (see lvv_tpu.models.registry — 14
+assemblies from VoxelNeXt to BEVFusion) on nuScenes-style
 samples: each step loads point clouds + gt boxes, runs the jit'd train step,
 logs meters, checkpoints on an interval. Data loading requires the nuScenes
 devkit + raw data; --synthetic runs the full loop on generated scenes (smoke
