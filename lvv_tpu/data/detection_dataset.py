@@ -224,7 +224,7 @@ class WaymoDetection(DetectionDatasetBase):
         out = {"points": feats,
                "token": f"{pc['lidar_sequence']}_{pc['sample_idx']}"}
         annos = info.get("annos")
-        if annos is not None:
+        if annos is not None and len(annos.get("name", [])):
             names = np.asarray(annos["name"])
             boxes = np.asarray(annos["gt_boxes_lidar"],
                                np.float32).reshape(len(names), -1)
@@ -464,20 +464,17 @@ class NuScenesDetection(DetectionDatasetBase):
         super().__init__(**kw)
         self.root = pathlib.Path(dataroot) if dataroot else None
         self.sweeps = sweeps
-        from .nuscenes_utils import build_sample_info, map_category
+        from .nuscenes_utils import build_sample_info, finalize_info
         if infos is None:
             if nusc is None:
                 from nuscenes import NuScenes
                 nusc = NuScenes(version=version, dataroot=dataroot,
                                 verbose=False)
-            infos = [build_sample_info(nusc, s, max_sweeps=sweeps,
-                                       dataroot=dataroot)
+            # same post-build filters as fill_trainval_infos so live-devkit
+            # and pickled-info paths produce identical info shapes
+            infos = [finalize_info(build_sample_info(
+                nusc, s, max_sweeps=sweeps, dataroot=dataroot))
                      for s in nusc.sample]
-            for info in infos:
-                keep = (info["num_lidar_pts"] + info["num_radar_pts"]) > 0
-                info["gt_boxes"] = info["gt_boxes"][keep]
-                info["gt_names"] = np.asarray(
-                    [map_category(n) or n for n in info["gt_names"]])[keep]
         self.infos = list(infos)
         if balanced_resampling:
             labels = [self._labels_of(i) for i in self.infos]

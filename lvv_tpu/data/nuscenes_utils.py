@@ -239,24 +239,32 @@ def build_sample_info(nusc, sample: Dict, max_sweeps: int = 10,
     return info
 
 
+def finalize_info(info: Dict) -> Dict:
+    """Apply the reference's post-build filters in place: drop boxes with
+    zero lidar+radar points ("0.5~1 mAP improvement" comment) and map raw
+    category names to detection names (unmapped -> "ignore"). Shared by
+    fill_trainval_infos and the live-devkit NuScenesDetection path so both
+    produce identical info shapes."""
+    keep = (info["num_lidar_pts"] + info["num_radar_pts"]) > 0
+    mapped = np.asarray([map_category(n) or "ignore"
+                         for n in info["gt_names"]])
+    info["gt_boxes"] = info["gt_boxes"][keep]
+    info["gt_names"] = mapped[keep]
+    info["num_lidar_pts"] = info["num_lidar_pts"][keep]
+    info["num_radar_pts"] = info["num_radar_pts"][keep]
+    return info
+
+
 def fill_trainval_infos(nusc, train_scene_tokens, val_scene_tokens,
                         max_sweeps: int = 10, dataroot: Optional[str] = None
                         ) -> Tuple[List[Dict], List[Dict]]:
     """All-sample info build, split by scene (reference
-    fill_trainval_infos:312-467 + create_nuscenes_info split logic).
-    Drops boxes with zero lidar+radar points ("0.5~1 mAP improvement"
-    comment in the reference) and maps raw category names."""
+    fill_trainval_infos:312-467 + create_nuscenes_info split logic)."""
     train, val = [], []
     train_set = set(train_scene_tokens)
     for sample in nusc.sample:
-        info = build_sample_info(nusc, sample, max_sweeps, dataroot)
-        keep = (info["num_lidar_pts"] + info["num_radar_pts"]) > 0
-        mapped = np.asarray([map_category(n) or "ignore"
-                             for n in info["gt_names"]])
-        info["gt_boxes"] = info["gt_boxes"][keep]
-        info["gt_names"] = mapped[keep]
-        info["num_lidar_pts"] = info["num_lidar_pts"][keep]
-        info["num_radar_pts"] = info["num_radar_pts"][keep]
+        info = finalize_info(
+            build_sample_info(nusc, sample, max_sweeps, dataroot))
         (train if sample["scene_token"] in train_set else val).append(info)
     return train, val
 

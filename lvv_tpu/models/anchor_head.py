@@ -187,7 +187,9 @@ def assign_anchor_targets(anchors: jax.Array, anchor_cls: jax.Array,
     # zero IoU against every same-class anchor must not mark anchor 0.
     best_anchor = jnp.argmax(iou, axis=0)              # [G]
     gt_has_overlap = jnp.max(iou, axis=0) > 0          # [G]
-    forced = jnp.zeros((n,), bool).at[best_anchor].set(
+    # scatter-MAX (boolean OR): padding/zero-overlap gts all argmax to
+    # anchor 0 and a .set would let their False clobber a real gt's True
+    forced = jnp.zeros((n,), bool).at[best_anchor].max(
         gt_mask & gt_has_overlap)
     pos = (best_iou >= pos_thresh) | forced
     neg = best_iou < neg_thresh

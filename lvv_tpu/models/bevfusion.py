@@ -101,6 +101,9 @@ class BEVFusionDetector(nn.Module):
                  cam2lidar: jax.Array) -> Dict[str, jax.Array]:
         """points [P, >=4]; images [V, 3, H, W]; intrinsics [V, 3, 3];
         cam2lidar [V, 4, 4] (camera->lidar/ego)."""
+        assert tuple(images.shape[-2:]) == tuple(self.image_hw), (
+            f"images {images.shape[-2:]} != configured image_hw "
+            f"{self.image_hw} — the depth projection would misalign")
         # ---- lidar branch (vfe -> backbone_3d -> map_to_bev)
         grid = VoxelGrid.create(self.vox_cfg.point_range,
                                 self.vox_cfg.voxel_size)

@@ -81,11 +81,16 @@ def rotated_set_partition(wid: jax.Array, inner: jax.Array,
     col = jnp.where(valid, rank % set_size, 0)
     max_sets_per_win = -(-max_key // set_size)
     gset = jnp.where(valid, wid * max_sets_per_win + set_in_win, SENTINEL)
-    _, inverse, _, n_unique = unique_with_inverse(gset, SENTINEL, max_sets)
+    # max_sets + 1 slots: unique_with_inverse CLAMPS overflow runs to its
+    # last slot, so reserving slot max_sets as a dump row turns the clamp
+    # into a real drop (overflowed sets land there, never aliasing a live
+    # set — and invalid voxels route there too)
+    _, inverse, _, n_unique = unique_with_inverse(gset, SENTINEL,
+                                                  max_sets + 1)
     from ..ops.sparse import report_overflow
     report_overflow("dsvt_sets", n_unique, max_sets)
     ok = valid & (inverse < max_sets)
-    return jnp.where(ok, inverse, max_sets - 1), col, ok
+    return jnp.where(ok, inverse, max_sets), col, ok
 
 
 class SetAttentionLayer(nn.Module):
@@ -99,10 +104,13 @@ class SetAttentionLayer(nn.Module):
                  max_sets: int, set_size: int) -> jax.Array:
         c = feats.shape[-1]
         v_in = feats + pos
-        sets = jnp.zeros((max_sets, set_size, c), feats.dtype)
+        # max_sets + 1 rows: row max_sets is the dump for invalid/
+        # overflowed voxels (their writes must never collide with a live
+        # set's slot)
+        sets = jnp.zeros((max_sets + 1, set_size, c), feats.dtype)
         sets = sets.at[set_row, col].set(
             jnp.where(ok[:, None], v_in, 0.0))
-        counts = jnp.zeros((max_sets,), jnp.int32).at[set_row].add(
+        counts = jnp.zeros((max_sets + 1,), jnp.int32).at[set_row].add(
             ok.astype(jnp.int32))
 
         q = Dense(c, name="q")(sets)
@@ -111,12 +119,12 @@ class SetAttentionLayer(nn.Module):
         hd = c // self.num_heads
 
         def heads(x):
-            return x.reshape(max_sets, set_size, self.num_heads,
+            return x.reshape(max_sets + 1, set_size, self.num_heads,
                              hd).transpose(0, 2, 1, 3)
 
         o = attention(heads(q), heads(k), heads(v),
                       kv_len=jnp.maximum(counts, 1))
-        o = o.transpose(0, 2, 1, 3).reshape(max_sets, set_size, c)
+        o = o.transpose(0, 2, 1, 3).reshape(max_sets + 1, set_size, c)
         o = Dense(c, name="proj")(o)
         # gather back + residual + LN + FFN (reference SetAttention mlp)
         y = feats + jnp.where(ok[:, None], o[set_row, col], 0.0)

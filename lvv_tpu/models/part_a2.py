@@ -37,7 +37,7 @@ from .anchor_head import (AnchorHead, anchor_head_loss,
 from .centerpoint import height_compression
 from .layers import Dense
 from .pointpillars import BaseBEVBackbone
-from .second import DEFAULT_ANCHOR_SIZES, SECONDDetector
+from .second import default_anchor_table
 from .voxelnext import Detections, SparseBasicBlock, SparseConvLayer
 
 
@@ -235,11 +235,8 @@ class PartA2Detector(nn.Module):
                               layer_strides=(1, 2),
                               upsample_channels=(64, 64),
                               name="backbone2d")(bev)
-        # reuse SECOND's compile-time anchor table (same BEV geometry)
-        helper = SECONDDetector(det_cfg=self.det_cfg, vox_cfg=self.vox_cfg)
-        anchors, acls = helper.anchor_table()
-        n_sizes = len(DEFAULT_ANCHOR_SIZES[: min(
-            self.det_cfg.num_classes, len(DEFAULT_ANCHOR_SIZES))])
+        anchors, acls, n_sizes = default_anchor_table(self.det_cfg,
+                                                      self.vox_cfg)
         preds = AnchorHead(num_classes=self.det_cfg.num_classes,
                            anchors_per_cell=n_sizes * 2, name="head")(bev)
 

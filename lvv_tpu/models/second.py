@@ -28,6 +28,22 @@ from .voxelnext import Detections
 DEFAULT_ANCHOR_SIZES = ((4.6, 1.95, 1.72), (6.9, 2.5, 2.8), (0.7, 0.7, 1.7))
 
 
+def default_anchor_table(det_cfg: VoxelNeXtConfig, vox_cfg: VoxelizeConfig):
+    """Compile-time anchor table + class ids for the standard BEV geometry
+    (pure function of the configs — shared by SECOND, PartA2, VoxelRCNN,
+    CaDDN so their anchor layouts stay in lockstep)."""
+    grid = VoxelGrid.create(vox_cfg.point_range, vox_cfg.voxel_size)
+    stride = det_cfg.spatial_stride
+    h = -(-grid.grid_size[1] // stride)
+    w = -(-grid.grid_size[0] // stride)
+    sizes = DEFAULT_ANCHOR_SIZES[: min(det_cfg.num_classes,
+                                       len(DEFAULT_ANCHOR_SIZES))]
+    anchors, acls = generate_anchors(
+        (h, w), sizes, vox_cfg.point_range,
+        (grid.voxel_size[0] * stride, grid.voxel_size[1] * stride))
+    return anchors, acls, len(sizes)
+
+
 class SECONDDetector(nn.Module):
     det_cfg: VoxelNeXtConfig
     vox_cfg: VoxelizeConfig
@@ -37,15 +53,8 @@ class SECONDDetector(nn.Module):
                                 self.vox_cfg.voxel_size)
 
     def anchor_table(self) -> Tuple[np.ndarray, np.ndarray]:
-        grid = self.voxel_grid()
-        stride = self.det_cfg.spatial_stride
-        h = -(-grid.grid_size[1] // stride)
-        w = -(-grid.grid_size[0] // stride)
-        sizes = DEFAULT_ANCHOR_SIZES[: min(self.det_cfg.num_classes,
-                                           len(DEFAULT_ANCHOR_SIZES))]
-        return generate_anchors(
-            (h, w), sizes, self.vox_cfg.point_range,
-            (grid.voxel_size[0] * stride, grid.voxel_size[1] * stride))
+        anchors, acls, _ = default_anchor_table(self.det_cfg, self.vox_cfg)
+        return anchors, acls
 
     @nn.compact
     def __call__(self, points: jax.Array, num_points: jax.Array):

@@ -143,6 +143,9 @@ def hungarian_one_to_one(cost: jax.Array, gt_mask: jax.Array):
     q_num, g_num = cost.shape
     big = 1e9
     cost = jnp.where(gt_mask[None, :], cost.astype(jnp.float32), big)
+    # scipy raises on NaN/inf (which a diverging step can produce and the
+    # greedy matcher tolerated) — sanitize to the padding cost
+    cost = jnp.where(jnp.isfinite(cost), jnp.clip(cost, -big, big), big)
 
     def _solve(c):
         from scipy.optimize import linear_sum_assignment

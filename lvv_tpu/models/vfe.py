@@ -47,16 +47,21 @@ def point_pillar_slots(points: jax.Array, num_points: jax.Array,
              & (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny) & zok)
     sent = jnp.int32(jnp.iinfo(jnp.int32).max)
     pid = jnp.where(valid, yi * nx + xi, sent)
+    # max_pillars + 1 slots: the unique clamp would otherwise alias every
+    # overflow pillar into slot max_pillars-1, corrupting its features —
+    # the reserved dump slot turns overflow into a clean drop
     uids, inverse, counts, n_unique = unique_with_inverse(
-        pid, sent, max_unique=max_pillars)
+        pid, sent, max_unique=max_pillars + 1)
     from ..ops.sparse import report_overflow
     report_overflow("dynamic_pillar_vfe", n_unique, max_pillars)
-    slot = jnp.where(valid, inverse, max_pillars)
+    slot = jnp.where(valid & (inverse < max_pillars), inverse, max_pillars)
+    valid = valid & (slot < max_pillars)
+    uids = uids[:max_pillars]
     coords = jnp.where(
         (uids != sent)[:, None],
         jnp.stack([jnp.zeros_like(uids), uids // nx, uids % nx], axis=1),
         -1)
-    return slot, valid, coords.astype(jnp.int32), counts
+    return slot, valid, coords.astype(jnp.int32), counts[:max_pillars]
 
 
 class DynamicPillarVFE(nn.Module):

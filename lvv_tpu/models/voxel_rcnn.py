@@ -26,7 +26,7 @@ from .centerpoint import height_compression
 from .layers import Dense
 from .pointpillars import BaseBEVBackbone
 from .roi_head import canonical_decode
-from .second import DEFAULT_ANCHOR_SIZES, SECONDDetector
+from .second import default_anchor_table
 from .voxelnext import Detections, SparseBasicBlock, SparseConvLayer
 
 
@@ -131,10 +131,8 @@ class VoxelRCNNDetector(nn.Module):
                               layer_strides=(1, 2),
                               upsample_channels=(64, 64),
                               name="backbone2d")(bev)
-        helper = SECONDDetector(det_cfg=self.det_cfg, vox_cfg=self.vox_cfg)
-        anchors, acls = helper.anchor_table()
-        n_sizes = len(DEFAULT_ANCHOR_SIZES[: min(
-            self.det_cfg.num_classes, len(DEFAULT_ANCHOR_SIZES))])
+        anchors, acls, n_sizes = default_anchor_table(self.det_cfg,
+                                                      self.vox_cfg)
         preds = AnchorHead(num_classes=self.det_cfg.num_classes,
                            anchors_per_cell=n_sizes * 2, name="rpn")(bev)
         proposals = decode_anchor_preds(preds, jnp.asarray(anchors),

@@ -208,17 +208,22 @@ def sparse_conv(st: SparseTensor, weights: jax.Array,
     all_ids = jnp.concatenate(contrib_ids)        # [K*V]
 
     from .segment import unique_with_inverse
+    # out_capacity + 1 unique slots: the clamp inside unique_with_inverse
+    # would otherwise alias every OVERFLOW output site into the last live
+    # row, summing unrelated voxels there — the reserved dump slot turns
+    # capacity overflow into a clean (telemetered) drop
     uids, inverse, _, n_unique = unique_with_inverse(
-        all_ids, SENTINEL, max_unique=out_capacity)
+        all_ids, SENTINEL, max_unique=out_capacity + 1)
     report_overflow("sparse_conv", n_unique, out_capacity)
     # contributions: for each (k, v): W_k^T @ feat_v
     feats = jnp.einsum("vc,kcd->kvd", st.features, weights,
                        preferred_element_type=jnp.float32)  # [K, V, Cout]
     feats = feats.reshape(-1, feats.shape[-1])
-    valid_c = all_ids != SENTINEL
+    valid_c = (all_ids != SENTINEL) & (inverse < out_capacity)
     seg = jnp.where(valid_c, inverse, out_capacity)
     out = segment_sum(jnp.where(valid_c[:, None], feats, 0.0), seg,
                       out_capacity + 1)[:out_capacity]
+    uids = uids[:out_capacity]
     if bias is not None:
         out = out + bias
     out = jnp.where((uids != SENTINEL)[:, None], out, 0.0).astype(
@@ -277,11 +282,13 @@ def bev_collapse(st: SparseTensor, bev_capacity: int | None = None
     cap = bev_capacity or st.ids.shape[0]
     from .segment import unique_with_inverse
     uids, inverse, _, n_unique = unique_with_inverse(yx, SENTINEL,
-                                                     max_unique=cap)
+                                                     max_unique=cap + 1)
     report_overflow("bev_collapse", n_unique, cap)
-    seg = jnp.where(st.valid, inverse, cap)
-    out = segment_sum(jnp.where(st.valid[:, None], st.features, 0.0), seg,
+    ok = st.valid & (inverse < cap)
+    seg = jnp.where(ok, inverse, cap)
+    out = segment_sum(jnp.where(ok[:, None], st.features, 0.0), seg,
                       cap + 1)[:cap]
+    uids = uids[:cap]
     out = jnp.where((uids != SENTINEL)[:, None], out, 0.0)
     return SparseTensor(uids, out.astype(st.features.dtype), (nx, ny, 1))
 
@@ -312,12 +319,14 @@ def merge_add(a: SparseTensor, b: SparseTensor,
     feats = jnp.concatenate([a.features, b.features])
     from .segment import unique_with_inverse
     uids, inverse, _, n_unique = unique_with_inverse(all_ids, SENTINEL,
-                                                     max_unique=cap)
+                                                     max_unique=cap + 1)
     report_overflow("merge_add", n_unique, cap)
-    valid = all_ids != SENTINEL
+    # slot cap is the overflow dump (see sparse_conv note)
+    valid = (all_ids != SENTINEL) & (inverse < cap)
     seg = jnp.where(valid, inverse, cap)
     out = segment_sum(jnp.where(valid[:, None], feats, 0.0), seg,
                       cap + 1)[:cap]
+    uids = uids[:cap]
     return SparseTensor(uids, jnp.where((uids != SENTINEL)[:, None], out,
                                         0.0).astype(a.features.dtype),
                         a.grid)
