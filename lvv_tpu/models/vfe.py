@@ -108,3 +108,54 @@ class DynamicPillarVFESimple2D(DynamicPillarVFE):
     """Center-offset-only variant (reference
     dynamic_pillar_vfe_simple2d semantics)."""
     use_cluster: bool = False
+
+
+class DynamicVoxelVFE(nn.Module):
+    """Uncapped 3D voxel encoder (reference dynamic_voxel_vfe.py): the
+    decorated-point -> MLP -> segment-max recipe of DynamicPillarVFE over
+    TRUE 3D voxels (z participates in the grid and in the center offset).
+    """
+    out_ch: int = 64
+
+    @nn.compact
+    def __call__(self, points: jax.Array, num_points: jax.Array,
+                 grid: VoxelGrid, max_voxels: int) -> Voxels:
+        from ..ops.voxelize import _point_voxel_ids
+        ids, valid, sent = _point_voxel_ids(points, num_points, grid)
+        uids, inverse, counts, n_unique = unique_with_inverse(
+            ids, sent, max_unique=max_voxels + 1)
+        from ..ops.sparse import report_overflow
+        report_overflow("dynamic_voxel_vfe", n_unique, max_voxels)
+        slot = jnp.where(valid & (inverse < max_voxels), inverse,
+                         max_voxels)
+        valid = valid & (slot < max_voxels)
+        uids = uids[:max_voxels]
+        nx, ny, _ = grid.grid_size
+        zc = (uids // (nx * ny)).astype(jnp.int32)
+        yc = ((uids // nx) % ny).astype(jnp.int32)
+        xc = (uids % nx).astype(jnp.int32)
+        slot_ok = uids != sent
+        coords = jnp.where(slot_ok[:, None],
+                           jnp.stack([zc, yc, xc], axis=1), -1)
+
+        mean_xyz = segment_mean(
+            jnp.where(valid[:, None], points[:, :3], 0.0), slot,
+            max_voxels + 1)[:max_voxels]
+        safe = jnp.minimum(slot, max_voxels - 1)
+        vs = jnp.asarray(grid.voxel_size, jnp.float32)
+        origin = jnp.asarray(grid.point_range[:3], jnp.float32)
+        centers = (coords[:, ::-1].astype(jnp.float32) + 0.5) * vs + origin
+        dec = jnp.concatenate([points,
+                               points[:, :3] - mean_xyz[safe],
+                               points[:, :3] - centers[safe]], axis=1)
+        dec = jnp.where(valid[:, None], dec, 0.0)
+        h = nn.relu(nn.LayerNorm(name="ln")(Dense(self.out_ch,
+                                                  name="fc")(dec)))
+        h = jnp.where(valid[:, None], h, -jnp.inf)
+        pooled = segment_max(h, jnp.where(valid, slot, max_voxels),
+                             max_voxels + 1)[:max_voxels]
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        return Voxels(features=pooled, coords=coords.astype(jnp.int32),
+                      num_points=counts[:max_voxels],
+                      num_voxels=jnp.sum(slot_ok.astype(jnp.int32)),
+                      point_voxel=jnp.where(valid, slot, -1))

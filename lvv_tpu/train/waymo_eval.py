@@ -121,8 +121,9 @@ def evaluate(gt_annos: Sequence[Dict], pred_annos: Sequence[Dict],
                 n_gt += int(counted.sum())
                 p_names = np.asarray(p["name"])
                 pk = p_names == cls
-                pb = np.asarray(p["boxes_lidar"],
-                                np.float32).reshape(-1, pb_w(p))[pk][:, :7]
+                raw_p = np.asarray(p["boxes_lidar"], np.float32)
+                pb = raw_p.reshape(len(p_names), -1)[pk][:, :7] \
+                    if raw_p.size else np.zeros((0, 7), np.float32)
                 ps = np.asarray(p["score"], np.float32)[pk]
                 tp, hacc, ign = match_sample(gb, pb, ps, thr, counted)
                 scores.append(ps[~ign])
@@ -143,6 +144,3 @@ def evaluate(gt_annos: Sequence[Dict], pred_annos: Sequence[Dict],
     return out
 
 
-def pb_w(p: Dict) -> int:
-    b = np.asarray(p["boxes_lidar"])
-    return b.shape[-1] if b.ndim == 2 and b.shape[-1] >= 7 else 7

@@ -134,3 +134,23 @@ def test_focal_sparse_conv_grows_active_set(rng):
     loss = focal_importance_loss(imp[:2], centers, valid, gt,
                                  jnp.asarray([True]))
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_dynamic_voxel_vfe(grid):
+    """3D dynamic voxel encoder: z participates in the grid (two points at
+    the same xy but different z land in DIFFERENT voxels, unlike the
+    pillar variant)."""
+    from lvv_tpu.models.vfe import DynamicVoxelVFE
+    from lvv_tpu.ops.voxelize import VoxelGrid
+    g3 = VoxelGrid.create((-8, -8, -4, 8, 8, 4), (1.0, 1.0, 1.0))
+    pts = np.zeros((8, 4), np.float32)
+    pts[0] = [0.5, 0.5, 0.5, 1.0]
+    pts[1] = [0.5, 0.5, 2.5, 2.0]     # same xy, different z
+    vfe = DynamicVoxelVFE(out_ch=8)
+    params = vfe.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                      jnp.int32(2), g3, 16)
+    out = vfe.apply(params, jnp.asarray(pts), jnp.int32(2), g3, 16)
+    assert int(np.asarray(out.num_voxels)) == 2
+    pv = np.asarray(out.point_voxel)
+    assert pv[0] != pv[1] and pv[0] >= 0 and pv[1] >= 0
+    assert np.isfinite(np.asarray(out.features)).all()
