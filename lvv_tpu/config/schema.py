@@ -182,6 +182,10 @@ class ModelConfig:
     bev_channels: int = 128       # probed at runtime in reference trainer.py:197-199
     bev_hw: Tuple[int, int] = (180, 180)
     dtype: str = "bfloat16"       # compute dtype; params stay float32
+    # rematerialize SAM blocks + LLM layers on backward (the reference's
+    # gradient checkpointing, model_setup.py:51-61); trades ~1.3x compute
+    # for a large activation-memory cut -> bigger train batches
+    remat: bool = False
 
 
 @config

@@ -164,6 +164,9 @@ class QwenModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     extra_tokens: int = 0   # appended special-token rows
+    remat: bool = False     # rematerialize each layer's activations on the
+                            # backward pass (reference gradient_checkpointing
+                            # at model_setup.py:51-61; jax.checkpoint here)
 
     @property
     def vocab_total(self) -> int:
@@ -174,7 +177,9 @@ class QwenModel(nn.Module):
         self.embed_tokens = nn.Embed(self.vocab_total, c.hidden_size,
                                      embedding_init=nn.initializers.normal(0.02),
                                      name="embed_tokens")
-        self.layers = [QwenLayer(c, dtype=self.dtype,
+        layer_cls = nn.remat(QwenLayer,
+                             static_argnums=()) if self.remat else QwenLayer
+        self.layers = [layer_cls(c, dtype=self.dtype,
                                  lora_rank=self.lora_rank,
                                  lora_alpha=self.lora_alpha,
                                  name=f"layer_{i}")

@@ -217,6 +217,7 @@ class SAMImageEncoder(nn.Module):
     use_rel_pos: bool = True
     vary_dims: Sequence[int] = (512, 1024)
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False   # jax.checkpoint per block (training memory)
 
     @nn.compact
     def __call__(self, x_nchw):
@@ -230,13 +231,14 @@ class SAMImageEncoder(nn.Module):
                          (1, grid, grid, self.embed_dim))
         x = x + pos.astype(self.dtype)
 
+        block_cls = nn.remat(SAMBlock) if self.remat else SAMBlock
         for i in range(self.depth):
             ws = 0 if i in self.global_attn_indexes else self.window_size
-            x = SAMBlock(self.num_heads, window_size=ws,
-                         mlp_ratio=self.mlp_ratio,
-                         use_rel_pos=self.use_rel_pos,
-                         input_size=(grid, grid), dtype=self.dtype,
-                         name=f"block_{i}")(x)
+            x = block_cls(self.num_heads, window_size=ws,
+                          mlp_ratio=self.mlp_ratio,
+                          use_rel_pos=self.use_rel_pos,
+                          input_size=(grid, grid), dtype=self.dtype,
+                          name=f"block_{i}")(x)
 
         # neck (frozen in the reference; trainable flags live in the optimizer)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,

@@ -90,7 +90,7 @@ class VQAModel(nn.Module):
                              lora_rank=self.llm_lora_rank,
                              lora_alpha=self.llm_lora_alpha,
                              extra_tokens=len(c.llm.special_tokens),
-                             name="llm")
+                             remat=c.remat, name="llm")
 
     # -- token-grid side: adapt VATVision n_tokens when SAM grid is small
     # (tiny test configs); the product config is 6*256 = 1536.
