@@ -197,7 +197,7 @@ def get_evaluation_results(gt_annos: Sequence[Dict],
     n_diff = len(DIFFICULTY_TYPES)
     precision = np.zeros((len(classes), n_diff, num_pr_points + 1))
     for ci, cls in enumerate(classes):
-        thr = iou_thresholds[cls]
+        thr = iou_thresholds.get(cls, 0.5)
         for di in range(n_diff):
             flags = [filter_data(g, p, di, cls, use_superclass)
                      for g, p in zip(gt_annos, pred_annos)]

@@ -104,7 +104,7 @@ def evaluate(gt_annos: Sequence[Dict], pred_annos: Sequence[Dict],
     for level in (1, 2):
         aps, aphs = [], []
         for cls in classes:
-            thr = IOU_THRESHOLD[cls]
+            thr = IOU_THRESHOLD.get(cls, 0.5)
             scores, tps, haccs = [], [], []
             n_gt = 0
             for g, p in zip(gt_annos, pred_annos):

@@ -23,6 +23,13 @@ def main() -> None:
     p.add_argument("--detector", default="VoxelNeXt")
     p.add_argument("--dataset", default="Custom")
     p.add_argument("--data-root", required=True)
+    p.add_argument("--info-path", default=None,
+                   help="info pickle for info-driven datasets "
+                        "(Waymo/ONCE/Lyft/Pandaset/Argo2/NuScenes)")
+    p.add_argument("--metric", default="nuscenes",
+                   choices=["nuscenes", "kitti", "kitti_official", "waymo",
+                            "once", "lyft"],
+                   help="which evaluation suite scores the detections")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--config", default=None)
     p.add_argument("--set", action="append", default=[], dest="overrides")
@@ -45,9 +52,15 @@ def main() -> None:
     cfg = (C.load(C.VQAConfig, args.config, args.overrides) if args.config
            else C.apply_overrides(C.default_config(), args.overrides))
     det = build_detector(args.detector, cfg.model.voxelnext, cfg.voxelize)
-    ds = build_dataset(args.dataset, root=args.data_root,
-                       point_range=cfg.voxelize.point_range,
-                       max_points=cfg.voxelize.max_points)
+    ds_kw = dict(point_range=cfg.voxelize.point_range,
+                 max_points=cfg.voxelize.max_points)
+    if args.dataset == "Custom":
+        ds_kw["root"] = args.data_root
+    else:
+        ds_kw["dataroot"] = args.data_root
+        if args.info_path:
+            ds_kw["info_path"] = args.info_path
+    ds = build_dataset(args.dataset, **ds_kw)
 
     n = len(ds) if not args.limit else min(args.limit, len(ds))
     sample0 = ds[0]
@@ -74,36 +87,98 @@ def main() -> None:
         p, pts, np_, method=type(det).detect))
 
     def run_eval():
-        classes = list(cfg.model.voxelnext.class_names)
-        recalls, preds_by_cls, gts_by_cls, times = [], {}, {}, []
+        classes = list(getattr(ds, "CLASSES",
+                               cfg.model.voxelnext.class_names))
+        recalls, records, times = [], [], []
         for i in range(n):
             s = ds[i]
             t0 = time.perf_counter()
-            d = detect(params, jnp.asarray(s["points"]),
+            d = detect(params, jnp.asarray(s["points"][:, :4]),
                        jnp.asarray(s["num_points"]))
             cnt = int(d.count)
             boxes = np.asarray(d.boxes[:cnt])
             times.append(time.perf_counter() - t0)
-            labels = np.asarray(d.labels[:cnt])
-            scores = np.asarray(d.scores[:cnt])
             gt_n = int(s["gt_mask"].sum())
-            gt = np.asarray(s["gt_boxes"][:gt_n])
-            gl = np.asarray(s["gt_labels"][:gt_n])
-            recalls.append(recall_stats(boxes, cnt, gt))
-            for ci, cname in enumerate(classes):
-                preds_by_cls.setdefault(cname, []).append(
-                    {"boxes": boxes[labels == ci],
-                     "scores": scores[labels == ci]})
-                gts_by_cls.setdefault(cname, []).append(
-                    {"boxes": gt[gl == ci]})
+            rec = {"boxes": boxes,
+                   "labels": np.asarray(d.labels[:cnt]),
+                   "scores": np.asarray(d.scores[:cnt]),
+                   "gt_boxes": np.asarray(s["gt_boxes"][:gt_n]),
+                   "gt_labels": np.asarray(s["gt_labels"][:gt_n]),
+                   "token": s.get("token", str(i))}
+            records.append(rec)
+            recalls.append(recall_stats(boxes, cnt, rec["gt_boxes"]))
         agg = {}
         if recalls:
             for k in recalls[0]:
                 agg[k] = float(np.mean([r[k] for r in recalls]))
-        agg.update(evaluate(preds_by_cls, gts_by_cls, classes))
+        agg.update(score_records(records, classes, args.metric))
         agg["sec_per_example"] = float(np.mean(times[1:])) if len(times) > 1 \
             else float(times[0])
         return agg
+
+    def score_records(records, classes, metric):
+        """Adapt per-sample detections to the chosen suite's anno format
+        (nuScenes mAP/NDS, KITTI R40 [+official difficulty], Waymo AP/APH,
+        ONCE benchmark, Lyft devkit mAP)."""
+        names = np.asarray(classes)
+
+        def nm(lbl):
+            if len(lbl) == 0:
+                return np.asarray([], dtype=names.dtype)
+            return names[np.clip(lbl, 0, len(names) - 1)]
+
+        if metric == "nuscenes":
+            preds_by_cls, gts_by_cls = {}, {}
+            for r in records:
+                for ci, cname in enumerate(classes):
+                    preds_by_cls.setdefault(cname, []).append(
+                        {"boxes": r["boxes"][r["labels"] == ci],
+                         "scores": r["scores"][r["labels"] == ci]})
+                    gts_by_cls.setdefault(cname, []).append(
+                        {"boxes": r["gt_boxes"][r["gt_labels"] == ci]})
+            return evaluate(preds_by_cls, gts_by_cls, classes)
+        if metric == "kitti":
+            from lvv_tpu.train.kitti_eval import evaluate_kitti
+            preds = [{c: {"boxes": r["boxes"][r["labels"] == ci][:, :7],
+                          "scores": r["scores"][r["labels"] == ci]}
+                      for ci, c in enumerate(classes)} for r in records]
+            gts = [{c: {"boxes": r["gt_boxes"][r["gt_labels"] == ci][:, :7]}
+                    for ci, c in enumerate(classes)} for r in records]
+            return evaluate_kitti(preds, gts, classes)
+        if metric == "kitti_official":
+            from lvv_tpu.train.kitti_eval import evaluate_kitti_official
+            gts = [{"name": nm(r["gt_labels"]),
+                    "boxes": r["gt_boxes"][:, :7]} for r in records]
+            preds = [{"name": nm(r["labels"]), "boxes": r["boxes"][:, :7],
+                      "score": r["scores"]} for r in records]
+            return evaluate_kitti_official(gts, preds, classes)
+        if metric == "waymo":
+            from lvv_tpu.train.waymo_eval import evaluate as waymo_eval
+            gts = [{"name": nm(r["gt_labels"]),
+                    "gt_boxes_lidar": r["gt_boxes"][:, :7]}
+                   for r in records]
+            preds = [{"name": nm(r["labels"]),
+                      "boxes_lidar": r["boxes"][:, :7],
+                      "score": r["scores"]} for r in records]
+            return waymo_eval(gts, preds, classes)
+        if metric == "once":
+            from lvv_tpu.train.once_eval import get_evaluation_results
+            gts = [{"name": nm(r["gt_labels"]),
+                    "boxes_3d": r["gt_boxes"][:, :7]} for r in records]
+            preds = [{"name": nm(r["labels"]),
+                      "boxes_3d": r["boxes"][:, :7],
+                      "score": r["scores"]} for r in records]
+            table, res = get_evaluation_results(gts, preds, list(classes),
+                                                use_superclass=False)
+            print(table)
+            return res
+        from lvv_tpu.train.lyft_eval import evaluate as lyft_eval
+        gts = [{"sample_token": r["token"], "name": nm(r["gt_labels"]),
+                "boxes": r["gt_boxes"][:, :7]} for r in records]
+        preds = [{"sample_token": r["token"], "name": nm(r["labels"]),
+                  "boxes": r["boxes"][:, :7], "score": r["scores"]}
+                 for r in records]
+        return lyft_eval(gts, preds, classes)
 
     load_ckpt()
     result = run_eval()
