@@ -154,6 +154,33 @@ class MPPNetE2E(nn.Module):
         return bank.push(points, num_points), out
 
 
+class MPPNetDetector(nn.Module):
+    """Offline multi-frame refinement (reference detectors/mppnet.py):
+    the dataset supplies a fixed T-frame stack of ego-aligned point clouds
+    plus first-stage proposals (reference trains on pre-computed
+    CenterPoint boxes loaded via ROI_BOXES_PATH); trajectories come from
+    the proposals' velocities, and the head intertwines per-frame proxy
+    tokens. Stateless — the E2E variant (MPPNetE2E) threads a memory bank
+    instead."""
+    det_cfg: VoxelNeXtConfig
+    num_frames: int = 4
+    samples: int = 32
+
+    @nn.compact
+    def __call__(self, frame_points: jax.Array, frame_counts: jax.Array,
+                 proposals: Detections) -> Detections:
+        """frame_points [T, P, F] (frame 0 = current); frame_counts [T]."""
+        traj = propagate_trajectories(proposals.boxes, self.num_frames)
+        preds = MPPNetHead(num_frames=self.num_frames, samples=self.samples,
+                           name="head")(frame_points, frame_counts, traj)
+        conf = jax.nn.sigmoid(preds["cls"].astype(jnp.float32))
+        refined = canonical_decode(preds["reg"].astype(jnp.float32),
+                                   proposals.boxes[:, :7])
+        boxes9 = jnp.concatenate([refined, proposals.boxes[:, 7:9]], axis=1)
+        return Detections(boxes=boxes9, scores=conf * proposals.scores,
+                          labels=proposals.labels, count=proposals.count)
+
+
 def mppnet_loss(preds: Dict, rois: jax.Array, gt_boxes, gt_mask):
     """Reuses the proposal-target machinery (reference
     ProposalTargetLayerMPPNet extends ProposalTargetLayer)."""

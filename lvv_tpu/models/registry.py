@@ -98,10 +98,25 @@ def _build_voxelrcnn(det_cfg, vox_cfg):
     return VoxelRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("TransFusion")
+def _build_transfusion(det_cfg, vox_cfg):
+    from .transfusion import TransFusionDetector
+    return TransFusionDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 @register_detector("MPPNet")
 def _build_mppnet(det_cfg, vox_cfg):
-    """Refinement-only family: pair with any first-stage detector's
-    proposals (reference MPPNet consumes CenterPoint proposals)."""
+    """Offline multi-frame refinement (reference detectors/mppnet.py):
+    consumes a fixed T-frame point stack + first-stage proposals
+    (reference MPPNet trains on pre-computed CenterPoint proposals)."""
+    from .mppnet import MPPNetDetector
+    return MPPNetDetector(det_cfg=det_cfg)
+
+
+@register_detector("MPPNetE2E")
+def _build_mppnet_e2e(det_cfg, vox_cfg):
+    """Online variant with an explicit rolling memory bank
+    (reference detectors/mppnet_e2e.py + mppnet_memory_bank_e2e.py)."""
     from .mppnet import MPPNetE2E
     return MPPNetE2E(det_cfg=det_cfg)
 

@@ -61,7 +61,9 @@ class TransFusionHead(nn.Module):
                      bias_init=nn.initializers.constant(-4.6),
                      name="hm")(bev_chw[None].transpose(0, 2, 3, 1))[0]
         peak = jnp.max(jax.nn.sigmoid(hm.astype(jnp.float32)), axis=-1)
-        _, top_idx = jax.lax.top_k(peak.reshape(-1), self.num_queries)
+        # never more queries than BEV cells (tiny test grids)
+        _, top_idx = jax.lax.top_k(peak.reshape(-1),
+                                   min(self.num_queries, h * w))
         q_init = tokens[0, top_idx][None]                   # [1, Q, D]
         q_pos = jnp.stack([(top_idx % w).astype(jnp.float32),
                            (top_idx // w).astype(jnp.float32)], axis=-1)
@@ -198,3 +200,51 @@ def transfusion_loss(preds: Dict, gt_boxes, gt_labels, gt_mask,
     reg_loss = jnp.sum(jnp.sum(smooth_l1(diff), axis=1) * matched) / n_pos
     total = cls_weight * cls_loss + reg_weight * reg_loss
     return total, {"tf_cls_loss": cls_loss, "tf_reg_loss": reg_loss}
+
+
+class TransFusionDetector(nn.Module):
+    """Standalone LiDAR-only TransFusion assembly (reference
+    detectors/transfusion.py + tools/cfgs/nuscenes_models/
+    transfusion_lidar.yaml: MeanVFE -> VoxelResBackBone8x ->
+    HeightCompression -> BaseBEVBackbone -> TransFusionHead, NMS-free).
+
+    Reuses the framework's sparse res trunk (CenterPointBackbone3D covers
+    the VoxelResBackBone8x shape) and the query head above; the decode is
+    query-per-box, no NMS (reference POST_PROCESSING consumes the head's
+    own final_box_dicts)."""
+    det_cfg: VoxelNeXtConfig
+    vox_cfg: VoxelizeConfig
+    num_queries: int = 200
+
+    def voxel_grid(self):
+        from ..ops.voxelize import VoxelGrid
+        return VoxelGrid.create(self.vox_cfg.point_range,
+                                self.vox_cfg.voxel_size)
+
+    @nn.compact
+    def __call__(self, points: jax.Array, num_points: jax.Array):
+        from ..ops.sparse import from_voxels
+        from ..ops.voxelize import voxelize_mean
+        from .centerpoint import CenterPointBackbone3D, height_compression
+        from .pointpillars import BaseBEVBackbone
+        grid = self.voxel_grid()
+        vox = voxelize_mean(points, num_points, grid,
+                            max_voxels=self.vox_cfg.max_voxels)
+        st = from_voxels(vox.coords, vox.features, grid.grid_size)
+        st = CenterPointBackbone3D(self.det_cfg, self.vox_cfg.max_voxels,
+                                   name="backbone3d")(st)
+        bev = height_compression(st)
+        # transfusion_lidar.yaml BACKBONE_2D: strides (1, 2), up (1, 2)
+        bev = BaseBEVBackbone(layer_channels=(64, 128),
+                              layer_strides=(1, 2),
+                              upsample_channels=(64, 64),
+                              name="backbone2d")(bev)
+        preds = TransFusionHead(num_classes=self.det_cfg.num_classes,
+                                num_queries=self.num_queries,
+                                name="head")(bev)
+        return {"bev_dense": bev, "preds": preds}
+
+    def detect(self, points, num_points) -> Detections:
+        out = self(points, num_points)
+        return decode_queries(out["preds"], self.det_cfg, self.vox_cfg,
+                              stride=self.det_cfg.spatial_stride)

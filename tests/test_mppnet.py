@@ -100,3 +100,29 @@ def test_mppnet_e2e_step(frames):
     # bank now holds frames 2 and 1
     np.testing.assert_allclose(np.asarray(bank.points[0]),
                                np.asarray(pts[2]))
+
+
+def test_mppnet_offline_detector(frames):
+    """Registered offline T-frame variant (reference detectors/mppnet.py)."""
+    from lvv_tpu.models.mppnet import MPPNetDetector
+    from lvv_tpu.models.registry import build_detector
+
+    pts, counts = frames
+    cfg = tiny_config()
+    det = build_detector("MPPNet", cfg.model.voxelnext, cfg.voxelize)
+    assert isinstance(det, MPPNetDetector)
+    props = Detections(
+        boxes=jnp.zeros((4, 9)).at[0].set(
+            jnp.asarray([5.0, 0.0, 0.0, 3, 3, 3, 0.0, 0, 0])),
+        scores=jnp.asarray([0.9, 0, 0, 0]),
+        labels=jnp.asarray([0, -1, -1, -1]),
+        count=jnp.int32(1))
+    m = MPPNetDetector(det_cfg=cfg.model.voxelnext, num_frames=3, samples=16)
+    params = m.init(jax.random.PRNGKey(0), pts, counts, props)
+    dets = m.apply(params, pts, counts, props)
+    assert dets.boxes.shape == (4, 9)
+    assert np.isfinite(np.asarray(dets.boxes)).all()
+    # e2e is registered separately
+    from lvv_tpu.models.mppnet import MPPNetE2E as _E2E
+    assert isinstance(
+        build_detector("MPPNetE2E", cfg.model.voxelnext, cfg.voxelize), _E2E)

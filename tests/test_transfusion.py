@@ -67,3 +67,24 @@ def test_transfusion_trains():
         up, opt = tx.update(g, opt)
         params = optax.apply_updates(params, up)
     assert float(loss_fn(params)) < l0
+
+def test_transfusion_standalone_detector():
+    """Registered lidar-only assembly (reference detectors/transfusion.py)."""
+    from lvv_tpu.models.registry import build_detector
+    from lvv_tpu.models.transfusion import TransFusionDetector
+
+    cfg = tiny_config()
+    det = build_detector("TransFusion", cfg.model.voxelnext, cfg.voxelize)
+    assert isinstance(det, TransFusionDetector)
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-7.5, 7.5, (300, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2.5, 0.5, 300)
+    points, n = jnp.asarray(pts), jnp.int32(300)
+    det = TransFusionDetector(det_cfg=cfg.model.voxelnext,
+                              vox_cfg=cfg.voxelize, num_queries=4)
+    params = det.init(jax.random.PRNGKey(0), points, n)
+    out = det.apply(params, points, n)
+    assert out["preds"]["cls"].shape[1] == cfg.model.voxelnext.num_classes
+    dets = det.apply(params, points, n, method=TransFusionDetector.detect)
+    assert dets.boxes.shape[1] == 9
+    assert np.isfinite(np.asarray(dets.boxes)).all()
