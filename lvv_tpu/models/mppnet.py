@@ -181,9 +181,110 @@ class MPPNetDetector(nn.Module):
                           labels=proposals.labels, count=proposals.count)
 
 
-def mppnet_loss(preds: Dict, rois: jax.Array, gt_boxes, gt_mask):
-    """Reuses the proposal-target machinery (reference
-    ProposalTargetLayerMPPNet extends ProposalTargetLayer)."""
-    from .roi_head import proposal_targets, roi_head_loss
+def subsample_rois(key: jax.Array, max_overlaps: jax.Array,
+                   roi_per_image: int = 96, fg_ratio: float = 0.5,
+                   fg_thresh: float = 0.55, bg_thresh_lo: float = 0.1,
+                   hard_bg_ratio: float = 0.8):
+    """Fixed-shape fg/bg ROI subsampling (reference ProposalTargetLayer.
+    subsample_rois:117-160: up to FG_RATIO*ROI_PER_IMAGE random foregrounds
+    with iou >= REG_FG_THRESH; remaining slots filled with background,
+    hard bg (iou >= CLS_BG_THRESH_LO) preferred HARD_BG_RATIO of the time).
+
+    TPU-first: random subset selection via top-k over uniform priorities —
+    no data-dependent shapes. Returns (sampled_idx [M], fg_mask [M])."""
+    r = max_overlaps.shape[0]
+    m = min(roi_per_image, r)
+    n_fg_t = max(1, int(np.round(fg_ratio * m)))
+    kf, kb = jax.random.split(key)
+    fg = max_overlaps >= fg_thresh
+    fg_pri = jnp.where(fg, jax.random.uniform(kf, (r,)), -jnp.inf)
+    fg_val, fg_idx = jax.lax.top_k(fg_pri, n_fg_t)
+    hard = (~fg) & (max_overlaps >= bg_thresh_lo)
+    rb = jax.random.uniform(kb, (r,))
+    bg_pri = jnp.where(~fg, rb + jnp.where(hard, hard_bg_ratio, 0.0),
+                       -jnp.inf)
+    bg_val, bg_idx = jax.lax.top_k(bg_pri, m)
+    # valid fg first (pri 2), then bg in sampled order, never invalids
+    cand_idx = jnp.concatenate([fg_idx, bg_idx])
+    bg_order = 1.0 - jnp.arange(m, dtype=jnp.float32) / (m + 1)
+    cand_pri = jnp.concatenate([
+        jnp.where(jnp.isfinite(fg_val), 2.0, -2.0),
+        jnp.where(jnp.isfinite(bg_val), bg_order, -1.0)])
+    _, sel = jax.lax.top_k(cand_pri, m)
+    sampled = cand_idx[sel]
+    return sampled, fg[sampled]
+
+
+def mppnet_proposal_targets(key: jax.Array, trajectory_rois: jax.Array,
+                            roi_scores: jax.Array, roi_labels: jax.Array,
+                            valid_length: jax.Array, gt_boxes: jax.Array,
+                            gt_mask: jax.Array, roi_per_image: int = 96,
+                            fg_thresh: float = 0.55,
+                            cls_fg_thresh: float = 0.75,
+                            cls_bg_thresh: float = 0.25) -> Dict:
+    """Per-frame trajectory target sampling (reference
+    ProposalTargetLayerMPPNet.sample_rois_for_mppnet: match CURRENT-frame
+    trajectory rois to gts, fg/bg-subsample to ROI_PER_IMAGE, and carry the
+    full sampled trajectories + per-frame valid_length through; cls labels
+    are the reference's 'roi_iou' soft interpolation).
+
+    trajectory_rois [T, R, 7]; roi_scores/labels [R]; valid_length [T, R];
+    -> dict with sampled trajectories [T, M, 7], rois [M, 7] (frame 0),
+    reg_tgt/cls_tgt/fg_mask/valid, sampled_idx."""
+    from ..ops.boxes import iou_aabb_bev
+    from .roi_head import canonical_encode
+    rois0 = trajectory_rois[0]
+    iou = iou_aabb_bev(rois0[:, :7], gt_boxes[:, :7])
+    iou = jnp.where(gt_mask[None, :], iou, 0.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    sampled, fg_mask = subsample_rois(key, best_iou, roi_per_image,
+                                      fg_thresh=fg_thresh)
+    rois_s = rois0[sampled]
+    gt_s = gt_boxes[best_gt[sampled]]
+    iou_s = best_iou[sampled]
+    soft = jnp.clip((iou_s - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh),
+                    0.0, 1.0)
+    reg_tgt = canonical_encode(gt_s[:, :7], rois_s[:, :7])
+    valid = jnp.any(gt_mask) & (jnp.sum(rois_s[:, 3:6], axis=1) > 0)
+    return {
+        "trajectory_rois": trajectory_rois[:, sampled],
+        "valid_length": valid_length[:, sampled],
+        "rois": rois_s,
+        "roi_scores": roi_scores[sampled],
+        "roi_labels": roi_labels[sampled],
+        "gt_iou_of_rois": iou_s,
+        "cls_tgt": soft,
+        "reg_tgt": reg_tgt,
+        "fg_mask": fg_mask & valid,
+        "valid": valid,
+        "sampled_idx": sampled,
+    }
+
+
+def mppnet_loss(preds: Dict, rois: jax.Array, gt_boxes, gt_mask,
+                key: jax.Array | None = None,
+                trajectory_rois: jax.Array | None = None,
+                valid_length: jax.Array | None = None):
+    """MPPNet training loss. With `key` + `trajectory_rois` it runs the
+    reference's per-frame ProposalTargetLayerMPPNet sampling (above);
+    otherwise it falls back to the plain proposal-target matcher on the
+    current-frame rois."""
+    from .roi_head import RoITargets, proposal_targets, roi_head_loss
+    if key is not None and trajectory_rois is not None:
+        r = trajectory_rois.shape[1]
+        if valid_length is None:
+            valid_length = jnp.ones(trajectory_rois.shape[:2], bool)
+        t = mppnet_proposal_targets(
+            key, trajectory_rois,
+            roi_scores=jnp.zeros((r,)), roi_labels=jnp.zeros((r,), jnp.int32),
+            valid_length=valid_length, gt_boxes=gt_boxes, gt_mask=gt_mask,
+            roi_per_image=min(96, r))
+        sel = t["sampled_idx"]
+        preds = {"cls": preds["cls"][sel], "reg": preds["reg"][sel]}
+        tgt = RoITargets(rois=t["rois"], cls_tgt=t["cls_tgt"],
+                         reg_tgt=t["reg_tgt"], fg_mask=t["fg_mask"],
+                         valid=t["valid"])
+        return roi_head_loss(preds, tgt)
     tgt = proposal_targets(rois, gt_boxes, gt_mask)
     return roi_head_loss(preds, tgt)

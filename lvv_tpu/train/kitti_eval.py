@@ -77,82 +77,194 @@ SIMILAR = {"Car": ("Van",), "Pedestrian": ("Person_sitting",),
            "car": ("van",), "pedestrian": ("person_sitting",)}
 
 
+def _bbox_height(d: Dict, n: int) -> np.ndarray:
+    """2D box height in pixels; falls back to 'always tall enough'."""
+    if "bbox" in d and len(np.asarray(d["bbox"]).reshape(-1, 4)) == n:
+        bb = np.asarray(d["bbox"], np.float64).reshape(-1, 4)
+        return np.abs(bb[:, 3] - bb[:, 1])
+    return np.asarray(d.get("bbox_height", np.full(n, 1000.0)), np.float64)
+
+
 def clean_data(gt: Dict, cls: str, difficulty: int):
     """-> gt flags: 0 counted / 1 ignored / -1 rejected (clean_data port).
 
     gt: {name [G], boxes [G, 7], occluded [G], truncated [G],
-    bbox_height [G]} (image-plane fields default to easy when absent)."""
+    bbox [G, 4] or bbox_height [G]} (image-plane fields default to easy
+    when absent)."""
     names = np.asarray(gt["name"])
     g = len(names)
     occ = np.asarray(gt.get("occluded", np.zeros(g)))
     trunc = np.asarray(gt.get("truncated", np.zeros(g)))
-    height = np.asarray(gt.get("bbox_height", np.full(g, 100.0)))
+    height = _bbox_height(gt, g)
     flags = np.full(g, -1, np.int64)
     same = names == cls
     similar = np.isin(names, SIMILAR.get(cls, ()))
     beyond = ((occ > MAX_OCCLUSION[difficulty])
               | (trunc > MAX_TRUNCATION[difficulty])
-              | (height < MIN_HEIGHT[difficulty]))
+              | (height <= MIN_HEIGHT[difficulty]))
     flags[same & ~beyond] = 0
     flags[same & beyond] = 1
     flags[similar] = 1
     return flags
 
 
+def clean_dets(pred: Dict, cls: str, difficulty: int) -> np.ndarray:
+    """Detection flags (reference clean_data:70-82): 0 valid / 1 ignored
+    (right class, 2D box too short for the difficulty) / -1 wrong class."""
+    names = np.asarray(pred["name"])
+    p = len(names)
+    height = _bbox_height(pred, p)
+    flags = np.full(p, -1, np.int64)
+    flags[height < MIN_HEIGHT[difficulty]] = 1
+    flags[(names == cls) & (height >= MIN_HEIGHT[difficulty])] = 0
+    return flags
+
+
+def image_box_overlap(a: np.ndarray, b: np.ndarray,
+                      criterion: int = -1) -> np.ndarray:
+    """2D [x1,y1,x2,y2] overlap (reference eval.py image_box_overlap):
+    criterion -1 = IoU, 0 = intersection / area(a) (DontCare rule)."""
+    a = np.asarray(a, np.float64).reshape(-1, 4)
+    b = np.asarray(b, np.float64).reshape(-1, 4)
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float64)
+    ix = (np.minimum(a[:, None, 2], b[None, :, 2])
+          - np.maximum(a[:, None, 0], b[None, :, 0])).clip(min=0)
+    iy = (np.minimum(a[:, None, 3], b[None, :, 3])
+          - np.maximum(a[:, None, 1], b[None, :, 1])).clip(min=0)
+    inter = ix * iy
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    if criterion == 0:
+        denom = area_a * np.ones_like(area_b)
+    else:
+        denom = area_a + area_b - inter
+    return inter / np.maximum(denom, 1e-9)
+
+
+def ap_r40_weighted(all_scores: np.ndarray, all_tp: np.ndarray,
+                    all_w: np.ndarray, n_gt: int) -> float:
+    """AP_R40 with per-TP weights in the numerator — the official AOS
+    formula (reference eval.py:263-270: similarity replaces the tp count
+    in the precision numerator)."""
+    if n_gt == 0 or len(all_scores) == 0:
+        return 0.0
+    order = np.argsort(-all_scores)
+    tp = np.cumsum(all_tp[order])
+    fp = np.cumsum(~all_tp[order])
+    w = np.cumsum(all_w[order])
+    recall = tp / n_gt
+    prec = w / np.maximum(tp + fp, 1e-9)
+    ap = 0.0
+    for r in np.linspace(1 / 40, 1.0, 40):
+        mask = recall >= r
+        ap += (prec[mask].max() if mask.any() else 0.0) / 40
+    return float(ap)
+
+
 def evaluate_kitti_official(gts: Sequence[Dict], preds: Sequence[Dict],
                             classes: Sequence[str],
                             iou_thresholds: Dict[str, float] | None = None,
-                            mode: str = "3d") -> Dict[str, float]:
-    """Official-style per-difficulty AP_R40 (reference eval.py
-    eval_class:...do_eval). gts per sample: {name, boxes [G, 7] (lidar),
-    occluded, truncated, bbox_height}; preds: {name, boxes, score}.
-    -> {<cls>_<difficulty>_ap_<mode>_R40, mAP_<difficulty>}."""
+                            mode: str = "3d",
+                            compute_aos: bool = False) -> Dict[str, float]:
+    """Official-style per-difficulty AP_R40 (reference eval.py eval_class +
+    compute_statistics_jit). Modes: '3d' / 'bev' (rotated LiDAR IoU on
+    boxes [G, 7]) / 'bbox' (image-plane IoU on bbox [G, 4], with DontCare
+    regions absorbing unmatched detections). `compute_aos` adds the
+    orientation-similarity AP (needs 'alpha' on gts and preds; official
+    devkit pairs it with the bbox metric).
+
+    gts per sample: {name, boxes [G, 7] (lidar), bbox [G, 4]?, occluded,
+    truncated, alpha [G]?}; preds: {name, boxes, score, bbox?, alpha?}.
+    -> {<cls>_<difficulty>_ap_<mode>_R40, mAP_<difficulty>[, aos keys]}."""
     iou_thresholds = iou_thresholds or {}
     out: Dict[str, float] = {}
     for difficulty in range(3):
-        aps = []
+        aps, aoss = [], []
         for cls in classes:
             th = iou_thresholds.get(
                 cls, 0.7 if cls.lower() == "car" else 0.5)
-            scores_l, tp_l, n_gt = [], [], 0
+            scores_l, tp_l, sim_l, n_gt = [], [], [], 0
             for g, p in zip(gts, preds):
                 flags = clean_data(g, cls, difficulty)
-                gb = np.asarray(g["boxes"], np.float32).reshape(-1, 7)
+                gnames = np.asarray(g["name"])
                 pn = np.asarray(p["name"])
+                dt_flags_all = clean_dets(p, cls, difficulty)
                 keep_p = pn == cls
-                pb = np.asarray(p["boxes"],
-                                np.float32).reshape(-1, 7)[keep_p]
+                dt_flags = dt_flags_all[keep_p]
                 ps = np.asarray(p["score"], np.float32)[keep_p]
                 counted = flags == 0
                 considered = flags >= 0
                 n_gt += int(counted.sum())
-                # match against ALL same/similar-class gts; ignored
-                # matches drop from scoring (official tp/fp semantics)
                 order = np.argsort(-ps)
-                iou = _pair_iou(pb[order], gb[considered], mode)
+                if mode == "bbox":
+                    gb = np.asarray(g.get("bbox", np.zeros((len(gnames), 4))),
+                                    np.float64).reshape(-1, 4)
+                    pb = np.asarray(p.get("bbox", np.zeros((len(pn), 4))),
+                                    np.float64).reshape(-1, 4)[keep_p]
+                    iou = image_box_overlap(pb[order], gb[considered])
+                else:
+                    gb = np.asarray(g["boxes"], np.float32).reshape(-1, 7)
+                    pb = np.asarray(p["boxes"],
+                                    np.float32).reshape(-1, 7)[keep_p]
+                    iou = _pair_iou(pb[order], gb[considered], mode)
+                galpha = np.asarray(g.get("alpha",
+                                          np.zeros(len(gnames))), np.float64)
+                palpha = np.asarray(p.get("alpha", np.zeros(len(pn))),
+                                    np.float64)[keep_p][order]
+                dt_flags = dt_flags[order]
                 idx_map = np.nonzero(considered)[0]
                 taken = np.zeros(len(idx_map), bool)
                 tp = np.zeros(len(pb), bool)
-                ignored = np.zeros(len(pb), bool)
+                sim = np.zeros(len(pb), np.float64)
+                drop = np.zeros(len(pb), bool)
                 for i in range(len(pb)):
+                    if dt_flags[i] < 0:
+                        drop[i] = True        # wrong class: never scored
+                        continue
                     cand = np.nonzero(~taken & (iou[i] >= th))[0]
                     if len(cand) == 0:
+                        if dt_flags[i] == 1:
+                            drop[i] = True    # too-short det, not an FP
                         continue
                     best = cand[np.argmax(iou[i, cand])]
                     taken[best] = True
-                    if counted[idx_map[best]]:
+                    gi = idx_map[best]
+                    if counted[gi] and dt_flags[i] == 0:
                         tp[i] = True
+                        sim[i] = (1.0 + np.cos(galpha[gi] - palpha[i])) / 2.0
                     else:
-                        ignored[i] = True
-                scores_l.append(ps[order][~ignored])
-                tp_l.append(tp[~ignored])
+                        drop[i] = True        # ignored gt or ignored det
+                if mode == "bbox":
+                    # unmatched dets inside DontCare regions vanish
+                    # (reference eval.py:250-262: inter/det-area > thresh)
+                    dc = np.asarray(
+                        [np.asarray(g["bbox"], np.float64).reshape(-1, 4)[j]
+                         for j in range(len(gnames))
+                         if gnames[j] == "DontCare" and "bbox" in g],
+                        np.float64).reshape(-1, 4)
+                    if len(dc):
+                        ov = image_box_overlap(pb[order], dc, criterion=0)
+                        in_dc = (ov.max(axis=1) > th) & ~tp & ~drop
+                        drop |= in_dc
+                scores_l.append(ps[order][~drop])
+                tp_l.append(tp[~drop])
+                sim_l.append(sim[~drop])
             scores = np.concatenate(scores_l) if scores_l else np.zeros(0)
             tps = np.concatenate(tp_l) if tp_l else np.zeros(0, bool)
+            sims = np.concatenate(sim_l) if sim_l else np.zeros(0)
             ap = ap_r40(scores, tps, n_gt)
             out[f"{cls}_{DIFFICULTY_NAMES[difficulty]}_ap_{mode}_R40"] = ap
             aps.append(ap)
+            if compute_aos:
+                aos = ap_r40_weighted(scores, tps, sims, n_gt)
+                out[f"{cls}_{DIFFICULTY_NAMES[difficulty]}_aos_R40"] = aos
+                aoss.append(aos)
         out[f"mAP_{DIFFICULTY_NAMES[difficulty]}"] = \
             float(np.mean(aps)) if aps else 0.0
+        if compute_aos:
+            out[f"mAOS_{DIFFICULTY_NAMES[difficulty]}"] = \
+                float(np.mean(aoss)) if aoss else 0.0
     return out
 
 

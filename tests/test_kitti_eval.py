@@ -74,3 +74,87 @@ def test_official_difficulty_buckets():
               "score": np.array([0.5, 0.9])}]
     res3 = evaluate_kitti_official([gt], pred3, ["Car"])
     assert res3["Car_easy_ap_3d_R40"] < 1.0
+
+
+def test_image_box_overlap_criteria():
+    from lvv_tpu.train.kitti_eval import image_box_overlap
+
+    a = np.array([[0, 0, 10, 10]], np.float64)
+    b = np.array([[5, 0, 15, 10]], np.float64)
+    # IoU = 50 / 150
+    assert image_box_overlap(a, b)[0, 0] == pytest.approx(50 / 150)
+    # criterion 0: inter / area(a) = 50/100
+    assert image_box_overlap(a, b, criterion=0)[0, 0] == pytest.approx(0.5)
+
+
+def test_official_bbox_mode_with_dontcare():
+    """2D metric: DontCare regions absorb unmatched detections
+    (reference eval.py:250-262); plain strays stay FPs."""
+    from lvv_tpu.train.kitti_eval import evaluate_kitti_official
+
+    gt = {"name": np.array(["Car", "DontCare"]),
+          "boxes": np.zeros((2, 7), np.float32),
+          "bbox": np.array([[0, 0, 100, 100], [200, 200, 300, 300]],
+                           np.float64),
+          "occluded": np.zeros(2), "truncated": np.zeros(2)}
+    # det 2 sits fully inside the DontCare region -> dropped, not FP
+    pred = [{"name": np.array(["Car", "Car"]),
+             "bbox": np.array([[0, 0, 100, 100], [210, 210, 290, 290]],
+                              np.float64),
+             "boxes": np.zeros((2, 7), np.float32),
+             "score": np.array([0.9, 0.8])}]
+    res = evaluate_kitti_official([gt], pred, ["Car"], mode="bbox")
+    assert res["Car_easy_ap_bbox_R40"] == pytest.approx(1.0)
+    # same stray outside any DontCare region IS an FP
+    pred2 = [{"name": np.array(["Car", "Car"]),
+              "bbox": np.array([[0, 0, 100, 100], [400, 400, 500, 500]],
+                               np.float64),
+              "boxes": np.zeros((2, 7), np.float32),
+              "score": np.array([0.9, 0.95])}]
+    res2 = evaluate_kitti_official([gt], pred2, ["Car"], mode="bbox")
+    assert res2["Car_easy_ap_bbox_R40"] < 1.0
+
+
+def test_official_det_height_ignored():
+    """Too-short detections are ignored, not FPs (reference
+    clean_data:70-82 ignored_dt)."""
+    from lvv_tpu.train.kitti_eval import evaluate_kitti_official
+
+    gt = {"name": np.array(["Car"]),
+          "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]], np.float32),
+          "bbox": np.array([[0, 0, 100, 100]], np.float64),
+          "occluded": np.zeros(1), "truncated": np.zeros(1)}
+    # second det is 20px tall (below easy MIN_HEIGHT 40) far away: ignored
+    pred = [{"name": np.array(["Car", "Car"]),
+             "bbox": np.array([[0, 0, 100, 100], [400, 0, 440, 20]],
+                              np.float64),
+             "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0],
+                                [50, 50, 0, 4, 2, 1.5, 0.0]], np.float32),
+             "score": np.array([0.9, 0.95])}]
+    res = evaluate_kitti_official([gt], pred, ["Car"], mode="bbox")
+    assert res["Car_easy_ap_bbox_R40"] == pytest.approx(1.0)
+
+
+def test_aos_orientation_similarity():
+    """AOS = AP with (1+cos(dalpha))/2 in the precision numerator
+    (reference eval.py:263-270)."""
+    from lvv_tpu.train.kitti_eval import evaluate_kitti_official
+
+    gt = {"name": np.array(["Car"]),
+          "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]], np.float32),
+          "bbox": np.array([[0, 0, 100, 100]], np.float64),
+          "alpha": np.array([0.0]),
+          "occluded": np.zeros(1), "truncated": np.zeros(1)}
+    perfect = [{"name": np.array(["Car"]),
+                "bbox": np.array([[0, 0, 100, 100]], np.float64),
+                "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]], np.float32),
+                "alpha": np.array([0.0]), "score": np.array([0.9])}]
+    res = evaluate_kitti_official([gt], perfect, ["Car"], mode="bbox",
+                                  compute_aos=True)
+    assert res["Car_easy_aos_R40"] == pytest.approx(1.0)
+    # flipped orientation: bbox AP still 1, AOS collapses to ~0
+    flipped = [{**perfect[0], "alpha": np.array([np.pi])}]
+    res2 = evaluate_kitti_official([gt], flipped, ["Car"], mode="bbox",
+                                   compute_aos=True)
+    assert res2["Car_easy_ap_bbox_R40"] == pytest.approx(1.0)
+    assert res2["Car_easy_aos_R40"] == pytest.approx(0.0, abs=1e-6)

@@ -126,3 +126,81 @@ def test_mppnet_offline_detector(frames):
     from lvv_tpu.models.mppnet import MPPNetE2E as _E2E
     assert isinstance(
         build_detector("MPPNetE2E", cfg.model.voxelnext, cfg.voxelize), _E2E)
+
+
+def test_subsample_rois_caps_foreground():
+    """Fixed-shape port of ProposalTargetLayer.subsample_rois: fg capped at
+    FG_RATIO*M, bg fills the rest, hard bg preferred."""
+    from lvv_tpu.models.mppnet import subsample_rois
+
+    # 10 fg (iou .6), 20 hard bg (.3), 34 easy bg (.01)
+    iou = jnp.concatenate([jnp.full((10,), 0.6), jnp.full((20,), 0.3),
+                           jnp.full((34,), 0.01)])
+    sampled, fg = subsample_rois(jax.random.PRNGKey(0), iou,
+                                 roi_per_image=16, fg_ratio=0.5)
+    s, f = np.asarray(sampled), np.asarray(fg)
+    assert len(s) == 16 and len(set(s.tolist())) == 16  # distinct
+    assert f.sum() == 8                                  # fg cap hit
+    assert (s[f] < 10).all()
+    # hard-bg preference: most bg picks from the hard pool
+    bg_picks = s[~f]
+    assert (bg_picks >= 10).all()
+    assert ((bg_picks >= 10) & (bg_picks < 30)).sum() >= 5
+
+    # no fg at all -> all slots bg
+    sampled2, fg2 = subsample_rois(jax.random.PRNGKey(1),
+                                   jnp.full((64,), 0.05), roi_per_image=16)
+    assert np.asarray(fg2).sum() == 0
+    assert len(set(np.asarray(sampled2).tolist())) == 16
+
+
+def test_mppnet_proposal_targets_trajectories():
+    """Per-frame sampling keeps whole trajectories + valid_length aligned
+    (reference ProposalTargetLayerMPPNet.sample_rois_for_mppnet)."""
+    from lvv_tpu.models.mppnet import mppnet_proposal_targets
+
+    t_num, r_num = 3, 32
+    rng = np.random.default_rng(0)
+    traj = rng.uniform(-20, 20, (t_num, r_num, 7)).astype(np.float32)
+    traj[..., 3:6] = rng.uniform(1, 3, (t_num, r_num, 3))
+    # roi 0 sits exactly on the gt -> fg
+    gt = np.asarray([[1.0, 2.0, 0.0, 4.0, 2.0, 1.5, 0.3, 0, 0]], np.float32)
+    traj[0, 0, :7] = gt[0, :7]
+    vl = np.ones((t_num, r_num), bool)
+    out = mppnet_proposal_targets(
+        jax.random.PRNGKey(0), jnp.asarray(traj),
+        roi_scores=jnp.zeros((r_num,)),
+        roi_labels=jnp.zeros((r_num,), jnp.int32),
+        valid_length=jnp.asarray(vl), gt_boxes=jnp.asarray(gt),
+        gt_mask=jnp.asarray([True]), roi_per_image=8)
+    sel = np.asarray(out["sampled_idx"])
+    assert out["trajectory_rois"].shape == (t_num, 8, 7)
+    assert out["valid_length"].shape == (t_num, 8)
+    # the perfect-overlap roi is sampled as fg with cls target 1
+    assert 0 in sel.tolist()
+    pos = sel.tolist().index(0)
+    assert bool(out["fg_mask"][pos])
+    assert float(out["cls_tgt"][pos]) == 1.0
+    # trajectories gathered consistently with the sampled index
+    np.testing.assert_allclose(np.asarray(out["trajectory_rois"][:, pos]),
+                               traj[:, 0], rtol=1e-6)
+    # reg target of a perfect match is (near) zero in the canonical frame
+    assert np.abs(np.asarray(out["reg_tgt"][pos][:6])).max() < 1e-4
+
+
+def test_mppnet_loss_with_trajectory_sampling():
+    from lvv_tpu.models.mppnet import mppnet_loss
+
+    r_num = 16
+    rng = np.random.default_rng(2)
+    traj = rng.uniform(-10, 10, (2, r_num, 7)).astype(np.float32)
+    traj[..., 3:6] = 2.0
+    preds = {"cls": jnp.asarray(rng.normal(size=r_num), jnp.float32),
+             "reg": jnp.asarray(rng.normal(size=(r_num, 7)), jnp.float32)}
+    gt = jnp.asarray([[0.0, 0, 0, 4, 2, 1.5, 0.0, 0, 0]], jnp.float32)
+    loss, aux = mppnet_loss(preds, jnp.asarray(traj[0]), gt,
+                            jnp.asarray([True]),
+                            key=jax.random.PRNGKey(0),
+                            trajectory_rois=jnp.asarray(traj))
+    assert np.isfinite(float(loss))
+    assert "roi_cls_loss" in aux
