@@ -103,7 +103,12 @@ class BaseBEVBackbone(nn.Module):
                                   (total_stride, total_stride),
                                   strides=(total_stride, total_stride),
                                   name=f"up{i}")(x)
-            ups.append(nn.relu(nn.LayerNorm(name=f"uln{i}")(up)))
+            up = nn.relu(nn.LayerNorm(name=f"uln{i}")(up))
+            if ups:
+                # odd grids round up through strided convs (e.g. 500 -> 125
+                # -> 63 -> x8 = 504); crop to the first level's resolution
+                up = up[:, :ups[0].shape[1], :ups[0].shape[2], :]
+            ups.append(up)
         out = jnp.concatenate(ups, axis=-1)
         return out[0].transpose(2, 0, 1)          # [C, H, W]
 

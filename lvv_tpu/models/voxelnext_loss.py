@@ -153,3 +153,45 @@ def voxelnext_loss(preds: Dict[str, SparseTensor], bev: SparseTensor,
     total = hm_weight * hm_loss + reg_weight * reg_loss
     return total, {"hm_loss": hm_loss, "reg_loss": reg_loss,
                    "loss": total}
+
+
+def dense_center_loss(preds: Dict[str, jax.Array], gt_boxes, gt_labels,
+                      gt_mask, det_cfg: VoxelNeXtConfig,
+                      vox_cfg: VoxelizeConfig, stride: int | None = None,
+                      hm_weight: float = 1.0,
+                      reg_weight: float = 2.0) -> Tuple[jax.Array, Dict]:
+    """CenterHead loss on DENSE BEV maps (reference dense_heads/
+    center_head.py assign_targets + centernet_utils.draw_gaussian_to_heatmap
+    + loss path :227-264): reuses the sparse target assigner on an
+    all-active pseudo-sparse tensor, so dense families (PointPillars,
+    CenterPoint, PillarNet) train through the same machinery.
+
+    preds: {"hm" [C, H, W], "center" [2, H, W], "center_z" [1, H, W],
+    "dim" [3, H, W], "rot" [2, H, W]} (DenseCenterHead layout). `stride`
+    defaults to grid_ny // H — the head's actual BEV downsampling, whatever
+    the trunk did (PointPillars deconvs back to stride 1; sparse trunks sit
+    at spatial_stride)."""
+    hm = preds["hm"]
+    c, h, w = hm.shape
+    grid_ny = int(round((vox_cfg.point_range[4] - vox_cfg.point_range[1])
+                        / vox_cfg.voxel_size[1]))
+    if stride is None:
+        stride = max(grid_ny // h, 1)
+    bev = SparseTensor(ids=jnp.arange(h * w, dtype=jnp.int32),
+                       features=jnp.zeros((h * w, 1), jnp.float32),
+                       grid=(w, h, 1))
+    targets = assign_targets(bev, gt_boxes, gt_labels, gt_mask, det_cfg,
+                             vox_cfg, stride)
+
+    def flat(m):
+        return m.reshape(m.shape[0], -1).T           # [HW, ch]
+
+    hm_loss = gaussian_focal_loss(flat(hm), targets["hm"], bev.valid)
+    pred_vec = jnp.concatenate(
+        [flat(preds["center"]), flat(preds["center_z"]),
+         flat(preds["dim"]), flat(preds["rot"])], axis=1).astype(jnp.float32)
+    diff = jnp.abs(pred_vec - targets["reg"])
+    m = targets["reg_mask"][:, None].astype(jnp.float32)
+    reg_loss = jnp.sum(diff * m) / jnp.maximum(jnp.sum(m), 1.0)
+    total = hm_weight * hm_loss + reg_weight * reg_loss
+    return total, {"hm_loss": hm_loss, "reg_loss": reg_loss, "loss": total}

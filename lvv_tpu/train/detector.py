@@ -23,18 +23,66 @@ from ..ops.boxes import iou_3d
 RECALL_THRESHOLDS = (0.3, 0.5, 0.7)
 
 
+def detector_loss(det, out: Dict, boxes, labels, mask,
+                  det_cfg: VoxelNeXtConfig, vox_cfg: VoxelizeConfig,
+                  stride: int = 8):
+    """Family-generic loss dispatch (the reference's equivalent is
+    Detector3DTemplate.get_training_loss overridden per detector):
+
+    1. detector module exposes `.loss(out, gt, labels, mask)` -> use it
+       (SECOND/SECONDNetIoU/VoxelRCNN/PartA2 style);
+    2. `bev_sparse` in out -> sparse VoxelNeXt loss;
+    3. dense center-head preds (ndarray `hm`) -> dense_center_loss
+       (PointPillars/CenterPoint/PillarNet);
+    4. query-head preds (`cls`+`box`) -> transfusion_loss.
+    """
+    loss_method = getattr(type(det), "loss", None)
+    if callable(loss_method):
+        return det.loss(out, boxes, labels, mask)
+    if not isinstance(out, dict):
+        raise NotImplementedError(
+            f"{type(det).__name__} returns {type(out).__name__}, not a "
+            "preds dict — train it through its family-specific driver")
+    if "bev_sparse" in out:
+        return voxelnext_loss(out["preds"], out["bev_sparse"], boxes,
+                              labels, mask, det_cfg, vox_cfg, stride)
+    preds = out.get("preds")
+    if isinstance(preds, dict) and "hm" in preds \
+            and getattr(preds["hm"], "ndim", 0) == 3:
+        if "cls" in preds and "box" in preds:
+            from ..models.transfusion import transfusion_loss
+            return transfusion_loss(preds, boxes, labels, mask, det_cfg,
+                                    vox_cfg, stride)
+        from ..models.voxelnext_loss import dense_center_loss
+        return dense_center_loss(preds, boxes, labels, mask, det_cfg,
+                                 vox_cfg)
+    if isinstance(preds, dict) and "cls" in preds and "box" in preds:
+        from ..models.transfusion import transfusion_loss
+        return transfusion_loss(preds, boxes, labels, mask, det_cfg,
+                                vox_cfg, stride)
+    raise NotImplementedError(
+        f"{type(det).__name__} needs a family-specific training driver "
+        "(image-input or proposal-refinement families train through their "
+        "own step; see the family's test for the wiring)")
+
+
 def make_detector_train_step(det, tx, det_cfg: VoxelNeXtConfig,
-                             vox_cfg: VoxelizeConfig, stride: int = 8):
+                             vox_cfg: VoxelizeConfig,
+                             stride: int | None = None):
     """-> jit'd ((params, opt_state), batch) -> ((params, opt_state), metrics)
 
     batch: points [B, N, 4], num_points [B], gt_boxes [B, G, 9],
     gt_labels [B, G], gt_mask [B, G].
     """
+    if stride is None:
+        stride = det_cfg.spatial_stride
 
     def one_sample_loss(params, pts, n, boxes, labels, mask):
         out = det.apply(params, pts, n)
-        loss, aux = voxelnext_loss(out["preds"], out["bev_sparse"], boxes,
-                                   labels, mask, det_cfg, vox_cfg, stride)
+        loss, aux = detector_loss(det, out, boxes, labels, mask,
+                                  det_cfg, vox_cfg, stride)
+        aux = dict(aux)
+        aux.setdefault("loss", loss)
         return loss, aux
 
     def step(state, batch):

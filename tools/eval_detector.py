@@ -20,7 +20,9 @@ import time
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--detector", default="VoxelNeXt")
+    p.add_argument("--detector", default=None,
+                   help="registry family; defaults to the preset's "
+                        "_detector meta key, else VoxelNeXt")
     p.add_argument("--dataset", default="Custom")
     p.add_argument("--data-root", required=True)
     p.add_argument("--info-path", default=None,
@@ -51,7 +53,10 @@ def main() -> None:
 
     cfg = (C.load(C.VQAConfig, args.config, args.overrides) if args.config
            else C.apply_overrides(C.default_config(), args.overrides))
-    det = build_detector(args.detector, cfg.model.voxelnext, cfg.voxelize)
+    detector = args.detector or (
+        C.load_file(args.config).get("_detector") if args.config else None
+    ) or "VoxelNeXt"
+    det = build_detector(detector, cfg.model.voxelnext, cfg.voxelize)
     ds_kw = dict(point_range=cfg.voxelize.point_range,
                  max_points=cfg.voxelize.max_points)
     if args.dataset == "Custom":

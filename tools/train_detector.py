@@ -40,7 +40,9 @@ def synthetic_batch(rng, b, n_pts, n_gt, point_range):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--detector", default="VoxelNeXt")
+    p.add_argument("--detector", default=None,
+                   help="registry family; defaults to the preset's "
+                        "_detector meta key, else VoxelNeXt")
     p.add_argument("--config", default=None)
     p.add_argument("--set", action="append", default=[], dest="overrides")
     p.add_argument("--synthetic", action="store_true")
@@ -61,7 +63,10 @@ def main() -> None:
     cfg = (C.load(C.VQAConfig, args.config, args.overrides) if args.config
            else C.apply_overrides(C.tiny_config() if args.synthetic
                                   else C.default_config(), args.overrides))
-    det = build_detector(args.detector, cfg.model.voxelnext, cfg.voxelize)
+    detector = args.detector or (
+        C.load_file(args.config).get("_detector") if args.config else None
+    ) or "VoxelNeXt"
+    det = build_detector(detector, cfg.model.voxelnext, cfg.voxelize)
 
     rng = np.random.default_rng(0)
     if not args.synthetic:
