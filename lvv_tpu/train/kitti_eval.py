@@ -260,7 +260,7 @@ def evaluate_kitti_official(gts: Sequence[Dict], preds: Sequence[Dict],
                 aos = ap_r40_weighted(scores, tps, sims, n_gt)
                 out[f"{cls}_{DIFFICULTY_NAMES[difficulty]}_aos_R40"] = aos
                 aoss.append(aos)
-        out[f"mAP_{DIFFICULTY_NAMES[difficulty]}"] = \
+        out[f"mAP_{mode}_{DIFFICULTY_NAMES[difficulty]}"] = \
             float(np.mean(aps)) if aps else 0.0
         if compute_aos:
             out[f"mAOS_{DIFFICULTY_NAMES[difficulty]}"] = \

@@ -156,7 +156,10 @@ def main() -> None:
                     "boxes": r["gt_boxes"][:, :7]} for r in records]
             preds = [{"name": nm(r["labels"]), "boxes": r["boxes"][:, :7],
                       "score": r["scores"]} for r in records]
-            return evaluate_kitti_official(gts, preds, classes)
+            out = evaluate_kitti_official(gts, preds, classes)
+            out.update(evaluate_kitti_official(gts, preds, classes,
+                                               mode="bev"))
+            return out
         if metric == "waymo":
             from lvv_tpu.train.waymo_eval import evaluate as waymo_eval
             gts = [{"name": nm(r["gt_labels"]),
