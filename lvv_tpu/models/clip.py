@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import fused_mlp
 from .layers import Dense, LayerNorm, MultiHeadAttention, quick_gelu
 
 
@@ -55,10 +56,20 @@ class CLIPEncoderLayer(nn.Module):
                                    lora_rank=self.lora_rank,
                                    lora_alpha=self.lora_alpha,
                                    name="attn")(y)
-        y = LayerNorm(eps=self.eps, name="ln2")(x)
-        y = Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(y)
+        ln2 = LayerNorm(eps=self.eps, name="ln2")
+        fc1 = Dense(self.intermediate_size, dtype=self.dtype, name="fc1")
+        fc2 = Dense(x.shape[-1], dtype=self.dtype, name="fc2")
+        if fused_mlp.kernel_ok(x.shape[-1], self.intermediate_size):
+            ls, lb = ln2(x, return_params=True)
+            w1, b1 = fc1(x, return_params=True)
+            w2, b2 = fc2(jnp.zeros((1, self.intermediate_size), x.dtype),
+                         return_params=True)
+            return fused_mlp.ln_mlp_residual(x, ls, lb, w1, b1, w2, b2,
+                                             eps=self.eps, act="quick_gelu")
+        y = ln2(x)
+        y = fc1(y)
         y = quick_gelu(y)
-        y = Dense(x.shape[-1], dtype=self.dtype, name="fc2")(y)
+        y = fc2(y)
         return x + y
 
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention
+from ..ops.fused_mlp import norm_fast
 
 
 def quick_gelu(x):
@@ -28,15 +29,14 @@ class LayerNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        orig = x.dtype
-        x = x.astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+    def __call__(self, x, return_params: bool = False):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (y * scale + bias).astype(orig)
+        if return_params:
+            # param-only mode: lets fused kernels (ops.fused_mlp) consume the
+            # exact same param tree this module owns
+            return scale, bias
+        return norm_fast(x, scale, bias, eps=self.eps)
 
 
 class RMSNorm(nn.Module):
@@ -45,12 +45,8 @@ class RMSNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
-        x = x.astype(jnp.float32)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        y = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True)
-                              + self.eps)
-        return (y * scale).astype(orig)
+        return norm_fast(x, scale, eps=self.eps, rms=True)
 
 
 class Dense(nn.Module):
@@ -71,20 +67,33 @@ class Dense(nn.Module):
     bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         in_dim = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (in_dim, self.features))
-        y = x @ kernel.astype(self.dtype)
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias.astype(self.dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        lora = None
         if self.lora_rank > 0:
             a = self.param("lora_a", nn.initializers.normal(
                 1.0 / self.lora_rank), (in_dim, self.lora_rank))
             b = self.param("lora_b", nn.initializers.zeros,
                            (self.lora_rank, self.features))
-            scaling = self.lora_alpha / self.lora_rank
+            lora = (a, b, self.lora_alpha / self.lora_rank)
+        if return_params:
+            # param-only mode for fused kernels: fold LoRA into an effective
+            # kernel (gradients still reach a/b through the fold)
+            w = kernel
+            if lora is not None:
+                a, b, scaling = lora
+                w = w + (a @ b) * scaling
+            return w.astype(self.dtype), (None if bias is None
+                                          else bias.astype(self.dtype))
+        y = x @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        if lora is not None:
+            a, b, scaling = lora
             y = y + (x @ a.astype(self.dtype)) @ b.astype(self.dtype) * scaling
         return y
 
@@ -98,11 +107,19 @@ class MLP(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 return_params: bool = False):
         out = self.out if self.out is not None else x.shape[-1]
-        x = Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        fc1 = Dense(self.hidden, dtype=self.dtype, name="fc1")
+        fc2 = Dense(out, dtype=self.dtype, name="fc2")
+        if return_params:
+            w1b1 = fc1(x, return_params=True)
+            w2b2 = fc2(jnp.zeros((1, self.hidden), x.dtype),
+                       return_params=True)
+            return w1b1, w2b2
+        x = fc1(x)
         x = self.act(x)
-        x = Dense(out, dtype=self.dtype, name="fc2")(x)
+        x = fc2(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x

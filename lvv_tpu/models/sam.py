@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import fused_mlp
 from ..ops.attention import attention
 from .layers import MLP, Dense, LayerNorm
 
@@ -88,10 +89,13 @@ def _relpos_kernel_ok(h: int, w: int, head_dim: int) -> bool:
     """Eligibility for the in-kernel rel-pos flash path (TPU, MXU head
     dims). Covers BOTH the 64x64 global layers and the 14x14 windowed
     layers — the kernel pads any S to a lane-aligned block and masks the
-    padded kv columns, so the [S, S] bias never materializes anywhere."""
+    padded kv columns, so the [S, S] bias never materializes anywhere.
+    fused_mlp._FORCE_INTERPRET lets CPU tests drive the kernel paths."""
     import jax as _jax
     del h, w
-    return _jax.default_backend() == "tpu" and head_dim in (64, 128)
+    return ((fused_mlp._FORCE_INTERPRET
+             or _jax.default_backend() == "tpu")
+            and head_dim in (64, 128))
 
 
 class SAMAttention(nn.Module):
@@ -108,6 +112,26 @@ class SAMAttention(nn.Module):
         head_dim = c // self.num_heads
         qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(
             x.reshape(b, h * w, c))
+        if (self.use_rel_pos and h == w and h * w <= 512
+                and _relpos_kernel_ok(h, w, head_dim)):
+            # windowed layers: packed-qkv kernel — no head-split transposes,
+            # rel-pos bias built in-kernel (ops/attention.py
+            # window_attention_packed); the XLA glue this replaces measured
+            # 1.8 ms/layer (benchmarks/sam_block_bisect.json relpos_prep)
+            import math as _math
+            from ..ops.attention import window_attention_packed
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.input_size[0] - 1, head_dim))
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.input_size[1] - 1, head_dim))
+            rh = resize_rel_pos(rel_h.astype(qkv.dtype), h, h)
+            rw = resize_rel_pos(rel_w.astype(qkv.dtype), w, w)
+            out = window_attention_packed(
+                qkv, rh, rw, scale=1.0 / _math.sqrt(head_dim),
+                heads=self.num_heads, win=h,
+                interpret=fused_mlp._FORCE_INTERPRET)
+            out = Dense(c, dtype=self.dtype, name="proj")(out)
+            return out.reshape(b, h, w, c)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         if self.use_rel_pos:
@@ -139,7 +163,8 @@ class SAMAttention(nn.Module):
                 out = flash_attention_relpos(
                     q, k, v, q_rh.astype(q.dtype), q_rw.astype(q.dtype),
                     scale=1.0 / _math.sqrt(head_dim), grid_w=w,
-                    block_q=blk, block_k=blk)
+                    block_q=blk, block_k=blk,
+                    interpret=fused_mlp._FORCE_INTERPRET)
                 out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
                 out = Dense(c, dtype=self.dtype, name="proj")(out)
                 return out.reshape(b, h, w, c)
@@ -180,10 +205,18 @@ class SAMBlock(nn.Module):
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, padded, hw)
         x = shortcut + y
-        x = x + MLP(int(x.shape[-1] * self.mlp_ratio), act=nn.gelu,
-                    dtype=self.dtype, name="mlp")(
-            LayerNorm(eps=1e-6, name="ln2")(x))
-        return x
+        hidden = int(x.shape[-1] * self.mlp_ratio)
+        ln2 = LayerNorm(eps=1e-6, name="ln2")
+        mlp = MLP(hidden, act=nn.gelu, dtype=self.dtype, name="mlp")
+        if fused_mlp.kernel_ok(x.shape[-1], hidden):
+            # fused LN2+MLP+residual: one HBM round-trip instead of four
+            # (the two LayerNorms alone cost ~2 ms/block through XLA on v5e,
+            # benchmarks/sam_block_bisect.json)
+            ls, lb = ln2(x, return_params=True)
+            (w1, b1), (w2, b2) = mlp(x, return_params=True)
+            return fused_mlp.ln_mlp_residual(x, ls, lb, w1, b1, w2, b2,
+                                             eps=1e-6, act="gelu")
+        return x + mlp(ln2(x))
 
 
 class LayerNorm2d(nn.Module):
@@ -192,14 +225,9 @@ class LayerNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
-        x = x.astype(jnp.float32)
-        mean = x.mean(-1, keepdims=True)
-        var = ((x - mean) ** 2).mean(-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
         w = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         b = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (y * w + b).astype(orig)
+        return fused_mlp.norm_fast(x, w, b, eps=self.eps)
 
 
 class SAMImageEncoder(nn.Module):

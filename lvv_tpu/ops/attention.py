@@ -290,6 +290,48 @@ def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
         o_ref[0, 0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
 
 
+def _relpos_mh_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref, *,
+                      scale: float, w: int, s_valid: int, heads: int):
+    """Whole-sequence rel-pos attention with ALL heads in one program.
+
+    For the windowed SAM layers (196 tokens padded to 256) the per-(window,
+    head) grid of the streaming kernel costs 6 views x 25 windows x 12 heads
+    = 1800 program launches per layer — launch overhead dominated the
+    measured time (benchmarks/sam_block_bisect.json: rel-pos attention
+    ~3 ms/block vs a ~0.05 ms flop floor). One program per window with a
+    static head loop cuts launches 12x; single-block softmax needs no
+    online-softmax state.
+    """
+    s = q_ref.shape[2]
+    gh = qrh_ref.shape[3]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (gh, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (gh, s), 1)
+    sel_h = (rows == cols // w).astype(jnp.float32)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (w, s), 0)
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (w, s), 1)
+    sel_w = (rows_w == cols_w % w).astype(jnp.float32)
+    for h in range(heads):
+        logits = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        bias_h = jax.lax.dot_general(
+            qrh_ref[0, h].astype(jnp.float32), sel_h,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        bias_w = jax.lax.dot_general(
+            qrw_ref[0, h].astype(jnp.float32), sel_w,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        logits = logits + bias_h + bias_w
+        if s_valid > 0:
+            kv_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(kv_ids < s_valid, logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "grid_w", "block_q",
                                              "block_k", "interpret"))
 def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
@@ -320,6 +362,26 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
         q_rw = jnp.pad(q_rw, padq)
     s_out = s
     s = s_pad
+    if s_pad <= 512:
+        # small windows: one program per window, heads looped in-kernel
+        kernel = functools.partial(_relpos_mh_kernel, scale=scale, w=grid_w,
+                                   s_valid=s_valid, heads=h)
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, s, d), lambda b_: (b_, 0, 0, 0)),
+                pl.BlockSpec((1, h, s, d), lambda b_: (b_, 0, 0, 0)),
+                pl.BlockSpec((1, h, s, d), lambda b_: (b_, 0, 0, 0)),
+                pl.BlockSpec((1, h, s, gh), lambda b_: (b_, 0, 0, 0)),
+                pl.BlockSpec((1, h, s, grid_w), lambda b_: (b_, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h, s, d), lambda b_: (b_, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(q, k, v, q_rh, q_rw)[:, :, :s_out]
     kernel = functools.partial(_flash_relpos_kernel, scale=scale, w=grid_w,
                                s_valid=s_valid)
     grid = (b, h, s // block_q, s // block_k)
@@ -352,6 +414,105 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
                                  "arbitrary")),
         interpret=interpret,
     )(q, k, v, q_rh, q_rw)[:, :, :s_out]
+
+
+# ----------------------------------------------------------------------------
+# Packed-qkv window attention (SAM windowed layers).
+# ----------------------------------------------------------------------------
+
+def _window_packed_kernel(qkv_ref, rhf_ref, rwf_ref, eh_ref, ew_ref, o_ref,
+                          *, scale: float, heads: int, win: int):
+    """One program per window; heads looped; NO head-split transposes.
+
+    qkv_ref [1, S, 3*C] is the raw qkv Dense output (S = win*win tokens).
+    The decomposed rel-pos bias is built in-kernel from tiny tables:
+      bias[t, kh*win+kw] = q[t]·rel_h[qh(t), kh] + q[t]·rel_w[qw(t), kw]
+    computed as two mask-select matmuls — qtile = concat([q]*win) along
+    lanes, masked by (lane//hd == qh(t)) resp. (lane//hd == qw(t)), then
+    dotted with rhf/rwf [(win*hd), win] and expanded to [S, S] with the
+    one-hot expanders eh/ew [win, S]. Replaces the XLA glue around the old
+    per-head kernel (head split/merge transposes + q·R einsums) that
+    measured 1.8 ms/layer on v5e (benchmarks/sam_block_bisect.json
+    relpos_prep) — all of it becomes in-VMEM math.
+    """
+    s = qkv_ref.shape[1]
+    c = qkv_ref.shape[2] // 3
+    hd = c // heads
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, win * hd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, win * hd), 1)
+    mask_h = (cols // hd == rows // win).astype(jnp.float32)
+    mask_w = (cols // hd == rows % win).astype(jnp.float32)
+    qkv = qkv_ref[0]
+    rhf = rhf_ref[...].astype(jnp.float32)
+    rwf = rwf_ref[...].astype(jnp.float32)
+    eh = eh_ref[...]
+    ew = ew_ref[...]
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        qtile = jnp.concatenate([q.astype(jnp.float32)] * win, axis=1)
+        bias_h = jax.lax.dot_general(
+            qtile * mask_h, rhf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bias_w = jax.lax.dot_general(
+            qtile * mask_w, rwf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = (logits
+                  + jax.lax.dot_general(bias_h, eh, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(bias_w, ew, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32))
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "win",
+                                             "interpret"))
+def window_attention_packed(qkv, rel_h, rel_w, *, scale: float, heads: int,
+                            win: int, interpret: bool = False) -> jax.Array:
+    """Window self-attention over packed qkv with decomposed rel-pos bias.
+
+    qkv [B, S, 3*C] (S = win*win, token order row-major in the window);
+    rel_h/rel_w [win, win, hd] = resize_rel_pos tables indexed
+    [q_coord, k_coord, channel]. Returns [B, S, C] (pre-projection).
+    """
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    assert s == win * win, (s, win)
+    # rhf[(r*hd + ch), kh] = rel_h[r, kh, ch]
+    rhf = rel_h.transpose(0, 2, 1).reshape(win * hd, win)
+    rwf = rel_w.transpose(0, 2, 1).reshape(win * hd, win)
+    kh = jnp.arange(s) // win
+    kw = jnp.arange(s) % win
+    eh = (jnp.arange(win)[:, None] == kh[None, :]).astype(jnp.float32)
+    ew = (jnp.arange(win)[:, None] == kw[None, :]).astype(jnp.float32)
+    kernel = functools.partial(_window_packed_kernel, scale=scale,
+                               heads=heads, win=win)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((win * hd, win), lambda i: (0, 0)),
+            pl.BlockSpec((win * hd, win), lambda i: (0, 0)),
+            pl.BlockSpec((win, s), lambda i: (0, 0)),
+            pl.BlockSpec((win, s), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(qkv, rhf, rwf, eh, ew)
 
 
 def attention(q, k, v, *, causal: bool = False,

@@ -9,7 +9,9 @@ import pytest
 from lvv_tpu.ops.attention import attention_reference, flash_attention_relpos
 
 
-@pytest.mark.parametrize("gh,gw,d", [(4, 64, 64), (8, 32, 64), (2, 128, 64)])
+@pytest.mark.parametrize("gh,gw,d", [(4, 64, 64), (8, 32, 64), (2, 128, 64),
+                                     # s=1024 > 512: streaming (non-mh) path
+                                     (8, 128, 64)])
 def test_relpos_flash_matches_bias_oracle(key, gh, gw, d):
     b, h = 1, 2
     s = gh * gw
@@ -65,3 +67,38 @@ def test_relpos_flash_padded_window(key, gh, gw, d, blk):
     assert out.shape == (b, h, s, d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("win,heads,hd", [(4, 2, 32), (7, 3, 64)])
+def test_window_attention_packed_matches_oracle(key, win, heads, hd):
+    """Packed-qkv window kernel vs materialized-bias oracle."""
+    import numpy as np
+    from lvv_tpu.ops.attention import window_attention_packed
+    b, s, c = 3, win * win, heads * hd
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, heads, s, hd))
+    k = jax.random.normal(ks[1], (b, heads, s, hd))
+    v = jax.random.normal(ks[2], (b, heads, s, hd))
+    rel_h = jax.random.normal(ks[3], (win, win, hd)) * 0.3
+    rel_w = jax.random.normal(ks[4], (win, win, hd)) * 0.3
+
+    # oracle bias[b,h,t,kt] = q·rel_h[qh(t),kh(kt)] + q·rel_w[qw(t),kw(kt)]
+    qn = np.asarray(q)
+    bias = np.zeros((b, heads, s, s), np.float32)
+    for t in range(s):
+        for kt in range(s):
+            bias[:, :, t, kt] = (
+                (qn[:, :, t] * np.asarray(rel_h)[t // win, kt // win]).sum(-1)
+                + (qn[:, :, t] * np.asarray(rel_w)[t % win, kt % win]).sum(-1))
+    ref = attention_reference(q, k, v, bias=jnp.asarray(bias),
+                              scale=1.0 / math.sqrt(hd))
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(b, s, c)
+
+    # pack [q heads | k heads | v heads] like the qkv Dense output
+    def merge(x):
+        return np.asarray(x).transpose(0, 2, 1, 3).reshape(b, s, c)
+    qkv = jnp.asarray(np.concatenate([merge(q), merge(k), merge(v)], -1))
+    out = window_attention_packed(qkv, rel_h, rel_w,
+                                  scale=1.0 / math.sqrt(hd), heads=heads,
+                                  win=win, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
