@@ -154,6 +154,9 @@ class VoxelNeXtConfig:
     # ops-level overflow telemetry (ops.sparse.set_overflow_debug) guards
     # any retuning.
     capacity_schedule: Optional[Tuple[int, ...]] = None
+    # "ln" (shape-stable default) or "bn" (masked-moment BatchNorm matching
+    # the reference norm_fn — required to load spconv-trained checkpoints)
+    norm: str = "ln"
     num_classes: int = 10
     class_names: Tuple[str, ...] = (
         "car", "truck", "construction_vehicle", "bus", "trailer",

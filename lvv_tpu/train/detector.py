@@ -69,38 +69,56 @@ def detector_loss(det, out: Dict, boxes, labels, mask,
 def make_detector_train_step(det, tx, det_cfg: VoxelNeXtConfig,
                              vox_cfg: VoxelizeConfig,
                              stride: int | None = None):
-    """-> jit'd ((params, opt_state), batch) -> ((params, opt_state), metrics)
+    """-> jit'd ((variables, opt_state), batch) -> same-shaped state + metrics
 
+    `variables` is the full det.init result (params [+ batch_stats for
+    norm="bn" detectors]); build opt_state as tx.init(variables["params"])
+    — only the params collection is optimized, running BN stats update
+    through the masked-moment path.
     batch: points [B, N, 4], num_points [B], gt_boxes [B, G, 9],
     gt_labels [B, G], gt_mask [B, G].
     """
     if stride is None:
         stride = det_cfg.spatial_stride
 
-    def one_sample_loss(params, pts, n, boxes, labels, mask):
-        out = det.apply(params, pts, n)
+    def one_sample_loss(variables, pts, n, boxes, labels, mask):
+        # mutable batch_stats = BN training mode (masked batch moments +
+        # running-stat update); detectors without BN return an empty dict
+        out, mutated = det.apply(variables, pts, n,
+                                 mutable=["batch_stats"])
         loss, aux = detector_loss(det, out, boxes, labels, mask,
                                   det_cfg, vox_cfg, stride)
         aux = dict(aux)
         aux.setdefault("loss", loss)
-        return loss, aux
+        return loss, (aux, mutated)
 
     def step(state, batch):
-        params, opt_state = state
+        variables, opt_state = state
+        stats = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(p):
-            losses, aux = jax.vmap(
-                lambda pts, n, b, l, m: one_sample_loss(p, pts, n, b, l, m)
+            losses, (aux, mutated) = jax.vmap(
+                lambda pts, n, b, l, m: one_sample_loss(
+                    {"params": p, **stats}, pts, n, b, l, m)
             )(batch["points"], batch["num_points"], batch["gt_boxes"],
               batch["gt_labels"], batch["gt_mask"])
-            return jnp.mean(losses), aux
+            return jnp.mean(losses), (aux, mutated)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        (loss, (aux, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        updates, opt_state = tx.update(grads, opt_state,
+                                       variables["params"])
+        new_vars = dict(variables)
+        new_vars["params"] = optax.apply_updates(variables["params"],
+                                                 updates)
+        if "batch_stats" in mutated:
+            # per-sample running-stat updates from the vmap: average them
+            new_vars["batch_stats"] = jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0),
+                jax.lax.stop_gradient(mutated["batch_stats"]))
         metrics = {k: jnp.mean(v) for k, v in aux.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
-        return (params, opt_state), metrics
+        return (new_vars, opt_state), metrics
 
     return jax.jit(step)
 

@@ -30,7 +30,7 @@ def test_detector_train_step_reduces_loss():
     tx = optax.adam(1e-3)
     step = make_detector_train_step(det, tx, cfg.model.voxelnext,
                                     cfg.voxelize)
-    state = (params, tx.init(params))
+    state = (params, tx.init(params["params"]))
     losses = []
     for _ in range(5):
         state, metrics = step(state, batch)
@@ -78,7 +78,7 @@ def test_generic_train_step_covers_family(family):
     tx = optax.adam(1e-3)
     step = make_detector_train_step(det, tx, cfg.model.voxelnext,
                                     cfg.voxelize)
-    state = (params, tx.init(params))
+    state = (params, tx.init(params["params"]))
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0
@@ -96,7 +96,7 @@ def test_dense_center_loss_descends():
     tx = optax.adam(3e-3)
     step = make_detector_train_step(det, tx, cfg.model.voxelnext,
                                     cfg.voxelize)
-    state = (params, tx.init(params))
+    state = (params, tx.init(params["params"]))
     losses = []
     for _ in range(5):
         state, metrics = step(state, batch)

@@ -142,3 +142,83 @@ def test_capacity_schedule_honored():
                       jnp.int32(200))
     out = det.apply(params, jnp.asarray(pts), jnp.int32(200))
     assert np.isfinite(np.asarray(out["bev_dense"])).all()
+
+
+def test_sparse_conv_layer_masked_bn():
+    """norm="bn": moments over VALID rows only; running stats update under
+    mutable apply; eval uses the running average (reference norm_fn
+    BatchNorm1d(eps=1e-3, momentum=0.01) over active voxels)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lvv_tpu.models.voxelnext import SparseConvLayer
+    from lvv_tpu.ops.sparse import SENTINEL, SparseTensor
+
+    rng = np.random.default_rng(0)
+    n, c = 32, 8
+    ids = np.arange(n, dtype=np.int64)
+    ids[20:] = SENTINEL          # 12 invalid rows
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    st = SparseTensor(jnp.asarray(ids), jnp.asarray(feats), (4, 4, 4))
+
+    layer = SparseConvLayer(out_ch=c, kernel=1, norm="bn")
+    variables = layer.init(jax.random.PRNGKey(0), st)
+    assert "batch_stats" in variables
+
+    # train-mode apply: stats must move toward the masked batch moments
+    out, mutated = layer.apply(variables, st, mutable=["batch_stats"])
+    stats = mutated["batch_stats"]
+    mean = np.asarray(jax.tree_util.tree_leaves(stats)[0])
+    assert np.any(mean != 0)
+
+    # masked moments: an enormous INVALID feature must not perturb stats
+    feats2 = feats.copy()
+    feats2[25] = 1e6
+    st2 = SparseTensor(jnp.asarray(ids), jnp.asarray(feats2), (4, 4, 4))
+    _, mutated2 = layer.apply(variables, st2, mutable=["batch_stats"])
+    for a, b in zip(jax.tree_util.tree_leaves(mutated["batch_stats"]),
+                    jax.tree_util.tree_leaves(mutated2["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # eval-mode apply (no mutable): uses running stats, still finite
+    out_eval = layer.apply(variables, st)
+    assert np.all(np.isfinite(np.asarray(out_eval.features)))
+
+
+def test_voxelnext_bn_mode_trains():
+    """Full VoxelNeXt with norm="bn" through the generic train step."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from lvv_tpu.config import tiny_config
+    from lvv_tpu.models.registry import build_detector
+    from lvv_tpu.train.detector import make_detector_train_step
+
+    cfg = tiny_config()
+    det_cfg = dataclasses.replace(cfg.model.voxelnext, norm="bn")
+    det = build_detector("VoxelNeXt", det_cfg, cfg.voxelize)
+    rng = np.random.default_rng(0)
+    b, n = 1, 128
+    pts = rng.uniform(-3, 3, size=(b, n, 4)).astype(np.float32)
+    batch = {
+        "points": jnp.asarray(pts),
+        "num_points": jnp.full((b,), n, jnp.int32),
+        "gt_boxes": jnp.asarray([[[0.0, 0, -1, 4, 2, 1.5, 0.3, 0, 0]]],
+                                jnp.float32),
+        "gt_labels": jnp.zeros((b, 1), jnp.int32),
+        "gt_mask": jnp.ones((b, 1), bool),
+    }
+    variables = det.init(jax.random.PRNGKey(0), batch["points"][0],
+                         batch["num_points"][0])
+    assert "batch_stats" in variables
+    tx = optax.adam(1e-3)
+    step = make_detector_train_step(det, tx, det_cfg, cfg.voxelize)
+    state = (variables, tx.init(variables["params"]))
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
+    for _ in range(2):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = jax.tree_util.tree_leaves(state[0]["batch_stats"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))

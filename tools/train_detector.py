@@ -86,7 +86,7 @@ def main() -> None:
     tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(sched))
     step = make_detector_train_step(det, tx, cfg.model.voxelnext,
                                     cfg.voxelize)
-    state = (params, tx.init(params))
+    state = (params, tx.init(params["params"]))
     ckpt = CheckpointManager(args.out + "/checkpoints")
 
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
