@@ -93,6 +93,43 @@ def rotated_set_partition(wid: jax.Array, inner: jax.Array,
     return jnp.where(ok, inverse, max_sets), col, ok
 
 
+def plan_max_sets(ids, grid, window: Tuple[int, int, int],
+                  set_size: int, bucket: int = 1024) -> int:
+    """Host-side capacity planner: the EXACT set count this cloud needs.
+
+    Under jit the set tables are fixed-shape, so "auto-resize" on TPU means
+    recompile-per-capacity-bucket: run this on a representative batch (or
+    per scene, outside jit) and pass the result as DSVTBackbone.max_sets.
+    Counts Σ_w ceil(n_w / set_size) over non-empty windows for both shift
+    phases (the per-axis rotated partitions share the same count), takes
+    the max, and rounds up to `bucket` so capacities quantize to few
+    distinct compiled programs. The ceil(V/set_size)*2 default in
+    DSVTBackbone under-provisions scattered clouds (worst case is one set
+    per occupied window); overflow drops are telemetry-reported
+    (ops.sparse.set_overflow_debug) — this planner makes them zero.
+    """
+    import numpy as np
+    ids = np.asarray(ids)
+    ids = ids[ids != int(SENTINEL)]
+    if ids.size == 0:
+        return bucket
+    nx, ny, _ = grid
+    z = ids // (nx * ny)
+    y = (ids // nx) % ny
+    x = ids % nx
+    wz, wy, wx = window
+    need = 0
+    for shift in (False, True):
+        oz, oy, ox = ((wz // 2, wy // 2, wx // 2) if shift else (0, 0, 0))
+        wc = ((z + oz) // wz, (y + oy) // wy, (x + ox) // wx)
+        n_wx = -(-nx // wx) + 1
+        n_wy = -(-ny // wy) + 1
+        wid = (wc[0] * n_wy + wc[1]) * n_wx + wc[2]
+        _, counts = np.unique(wid, return_counts=True)
+        need = max(need, int(np.sum(-(-counts // set_size))))
+    return -(-need // bucket) * bucket
+
+
 class SetAttentionLayer(nn.Module):
     """Pre-gather set attention + FFN (reference SetAttention +
     DSVT_EncoderLayer): q/k get the learned in-window pos embedding."""

@@ -93,3 +93,51 @@ def test_dsvt_backbone_forward_and_grad(rng):
     total = sum(float(jnp.sum(jnp.abs(l)))
                 for l in jax.tree_util.tree_leaves(g))
     assert total > 0 and np.isfinite(total)
+
+
+def test_plan_max_sets_prevents_overflow_drops():
+    """Worst-case scattered cloud: one voxel per window needs one SET per
+    window — far more than ceil(V/set_size). The planner must cover it and
+    the backbone, given the planned capacity, must drop nothing."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.models.dsvt import (DSVTBackbone, plan_max_sets,
+                                     rotated_set_partition, window_coords)
+    from lvv_tpu.ops.sparse import SENTINEL, SparseTensor
+
+    grid = (64, 64, 4)
+    window = (4, 8, 8)
+    set_size = 32
+    # voxels on a sparse lattice: every occupied window holds exactly one
+    rng = np.random.default_rng(0)
+    xs = np.arange(0, 64, 8)
+    ys = np.arange(0, 64, 8)
+    coords = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
+    ids = (0 * (64 * 64) + coords[:, 0] * 64 + coords[:, 1]).astype(np.int64)
+    v = len(ids)                                     # 64 voxels
+    cap = 128
+    ids_pad = np.full((cap,), SENTINEL, np.int64)
+    ids_pad[:v] = ids
+    feats = rng.normal(size=(cap, 8)).astype(np.float32)
+    st = SparseTensor(jnp.asarray(ids_pad), jnp.asarray(feats), grid)
+
+    naive = -(-cap // set_size) * 2                  # backbone default: 8
+    planned = plan_max_sets(ids_pad, grid, window, set_size, bucket=1)
+    assert planned >= v                              # one set per window
+    assert planned > naive
+
+    # with the planned capacity nothing is dropped in either partition
+    for shift in (False, True):
+        wid, inner = window_coords(st, window, shift)
+        for axis in ("y", "x"):
+            _, _, ok = rotated_set_partition(
+                wid, inner, st.valid, window, set_size, planned, axis)
+            assert int(jnp.sum(ok)) == v
+
+    # and the backbone runs with the planned capacity
+    bb = DSVTBackbone(channels=16, num_blocks=2, num_heads=2, window=window,
+                      set_size=set_size, max_sets=planned)
+    params = bb.init(jax.random.PRNGKey(0), st)
+    out = bb.apply(params, st)
+    assert np.all(np.isfinite(np.asarray(out.features)[:v]))
