@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Batched serving throughput: frames/s vs batch size on one chip.
+
+BASELINE.json config #5 ("batched pipeline"): single-frame latency
+(bench.py) is decode-latency-bound — 32 sequential matvec steps at ~1 GB
+of bf16 weights each — so batching the whole pipeline (6B views through
+SAM/CLIP, B BEV grids, B-row decode steps) raises frames/s/chip nearly
+linearly until the image tower saturates the MXU. The reference serves
+batches as a sequential Python loop (src/encoder-decoder/inference/
+inference_engine.py:306-334 generate_batch), so its throughput ~= 1/latency.
+
+Writes benchmarks/serving_bench.json: {batch: {s_per_batch, frames_s}}.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+NEW_TOKENS = 32
+BATCHES = (1, 2, 4, 8)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lvv_tpu.config import default_config
+    from lvv_tpu.models import VQABatch, VQAModel, greedy_generate
+    from lvv_tpu.utils import astype_tree
+
+    cfg = default_config()
+    model = VQAModel(cfg.model, dtype=jnp.bfloat16)
+    c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
+    s = cfg.model.sam.img_size
+    t = 24
+    rng = np.random.default_rng(0)
+
+    results = {}
+    outp = pathlib.Path(__file__).parent / "serving_bench.json"
+
+    params = None
+    for b in BATCHES:
+        bev = jnp.asarray(rng.normal(size=(b, c, h, w)).astype(np.float32))
+        images = jnp.asarray(
+            rng.uniform(-1, 1, (b, 6, 3, s, s)).astype(np.float32))
+        view_valid = jnp.ones((b, 6), bool)
+        prompt = jnp.asarray(rng.integers(0, 1000, (b, t)), jnp.int32)
+        plen = jnp.full((b,), t, jnp.int32)
+        if params is None:
+            init_batch = VQABatch(
+                bev=bev, images=images, view_valid=view_valid,
+                text_ids=prompt, text_len=plen,
+                labels=jnp.full_like(prompt, -100),
+                use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
+            params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
+            params = jax.device_put(astype_tree(params, jnp.bfloat16))
+
+        def run():
+            toks = greedy_generate(model, {"params": params}, bev, images,
+                                   view_valid, prompt, plen,
+                                   max_new_tokens=NEW_TOKENS, eos_id=-1)
+            return np.asarray(toks)  # device->host fetch = real completion
+
+        for _ in range(2):
+            run()
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        sec = float(np.median(ts))
+        results[str(b)] = {"s_per_batch": round(sec, 4),
+                           "frames_s": round(b / sec, 3)}
+        outp.write_text(json.dumps(results, indent=1))
+        print(f"batch {b}: {sec*1e3:.1f} ms -> {b/sec:.2f} frames/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

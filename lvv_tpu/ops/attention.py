@@ -185,21 +185,10 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def flash_attention(q, k, v, *, causal: bool = False,
-                    kv_len: Optional[jax.Array] = None,
-                    scale: Optional[float] = None,
-                    block_q: int = 512, block_k: int = 2048,
-                    interpret: bool = False) -> jax.Array:
-    """Flash attention with automatic padding to TPU tile multiples.
-
-    Pads head dim to a lane multiple (zero K/Q columns contribute nothing to
-    logits; extra V columns are sliced off) and sequences to block multiples
-    (padded queries discarded, padded keys masked via kv_len).
-    """
+def _flash_padded(q, k, v, kv_len, *, causal: bool, scale: float,
+                  block_q: int, block_k: int, interpret: bool):
     b, hq, sq, d = q.shape
     sk = k.shape[2]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
-
     d_p = max(_pad_to(d, _LANE), _LANE) if d > 64 else 64
     block_q = min(block_q, _pad_to(sq, 8))
     block_k = min(block_k, _pad_to(sk, _LANE))
@@ -215,6 +204,62 @@ def flash_attention(q, k, v, *, causal: bool = False,
                                scale=scale, block_q=block_q, block_k=block_k,
                                interpret=interpret)
     return out[:, :, :sq, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_diff(q, k, v, kv_len, use_kvlen, causal, scale, block_q, block_k,
+                interpret):
+    return _flash_padded(q, k, v, kv_len if use_kvlen else None,
+                         causal=causal, scale=scale, block_q=block_q,
+                         block_k=block_k, interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, kv_len, use_kvlen, causal, scale, block_q,
+                    block_k, interpret):
+    out = _flash_diff(q, k, v, kv_len, use_kvlen, causal, scale, block_q,
+                      block_k, interpret)
+    return out, (q, k, v, kv_len)
+
+
+def _flash_diff_bwd(use_kvlen, causal, scale, block_q, block_k, interpret,
+                    res, g):
+    # Recompute-backward in XLA: pallas_call has no autodiff rule, and the
+    # LLM-LoRA training path differentiates THROUGH causal attention. The
+    # [B, H, Sq, Sk] logits materialize only inside this per-layer backward
+    # (fine under the per-layer remat policy used for training).
+    q, k, v, kv_len = res
+
+    def fwd(q, k, v):
+        return attention_reference(q, k, v, causal=causal,
+                                   kv_len=kv_len if use_kvlen else None,
+                                   scale=scale)
+
+    _, pullback = jax.vjp(fwd, q, k, v)
+    dq, dk, dv = pullback(g)
+    return dq, dk, dv, None
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    kv_len: Optional[jax.Array] = None,
+                    scale: Optional[float] = None,
+                    block_q: int = 512, block_k: int = 2048,
+                    interpret: bool = False) -> jax.Array:
+    """Flash attention with automatic padding to TPU tile multiples.
+
+    Pads head dim to a lane multiple (zero K/Q columns contribute nothing to
+    logits; extra V columns are sliced off) and sequences to block multiples
+    (padded queries discarded, padded keys masked via kv_len). Differentiable
+    via a recompute-backward custom VJP (XLA reference path).
+    """
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    use_kvlen = kv_len is not None
+    if kv_len is None:
+        kv_len = jnp.full((q.shape[0],), k.shape[2], jnp.int32)
+    return _flash_diff(q, k, v, kv_len.astype(jnp.int32), use_kvlen, causal,
+                       scale, block_q, block_k, interpret)
 
 
 # ----------------------------------------------------------------------------

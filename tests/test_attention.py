@@ -87,3 +87,27 @@ def test_dispatcher_reference_on_cpu(key):
     out = attention(q, k, v, causal=True)  # CPU -> reference path
     ref = attention_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_flash_attention_grads_match_reference():
+    """custom-VJP flash backward (XLA recompute) vs reference autodiff —
+    the LLM-LoRA training path differentiates through causal attention."""
+    import numpy as np
+    from lvv_tpu.ops.attention import attention_reference, flash_attention
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    kv_len = jnp.asarray([200, 256], jnp.int32)
+
+    for kwargs in ({"causal": True}, {"kv_len": kv_len},
+                   {"causal": True, "kv_len": kv_len}):
+        gf = jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+            q, k, v, block_q=128, block_k=128, interpret=True,
+            **kwargs) ** 2), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(attention_reference(
+            q, k, v, **kwargs) ** 2), argnums=(0, 1, 2))(q, k, v)
+        for a, w in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                       rtol=2e-4, atol=2e-4)
