@@ -37,10 +37,11 @@ _LANE = 128
 _ACTS = {
     "gelu": jax.nn.gelu,                      # tanh approximation (flax default)
     "gelu_exact": functools.partial(jax.nn.gelu, approximate=False),
-    # dtype-matched constant: a weak-f32 scalar broadcast into a bf16 vector
-    # fails Mosaic verification inside pallas kernels
-    "quick_gelu": lambda x: x * jax.nn.sigmoid(jnp.asarray(1.702, x.dtype)
-                                               * x),
+    # every constant dtype-matched: Mosaic rejects f32 scalar broadcasts
+    # into bf16 vectors, and jax.nn.sigmoid's lowering introduces one
+    "quick_gelu": lambda x: x / (jnp.asarray(1, x.dtype)
+                                 + jnp.exp(jnp.asarray(-1.702, x.dtype)
+                                           * x)),
     "relu": jax.nn.relu,
 }
 
@@ -103,7 +104,11 @@ def _fused_fwd(x, ls, lb, w1, b1, w2, b2, *, eps: float, act: str,
         out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_t, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # CLIP-L (1024x4096) peaks ~19-24 MB of scoped VMEM with the
+            # weight chunks + fp32 intermediates; the default 16 MB scope is
+            # far below the physical VMEM
+            vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(x, ls[None], lb[None], w1, b1[None], w2, b2[None])
 
