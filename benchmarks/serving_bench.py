@@ -62,9 +62,9 @@ def main():
             params = jax.device_put(astype_tree(params, jnp.bfloat16))
 
         def run():
-            toks = greedy_generate(model, {"params": params}, bev, images,
-                                   view_valid, prompt, plen,
-                                   max_new_tokens=NEW_TOKENS, eos_id=-1)
+            toks, _ = greedy_generate(model, params, bev, images,
+                                      view_valid, prompt, plen,
+                                      max_new_tokens=NEW_TOKENS, eos_id=-1)
             return np.asarray(toks)  # device->host fetch = real completion
 
         for _ in range(2):
