@@ -73,6 +73,25 @@ def main():
     rec("gblock", timed(loop(lambda p, h: gblk.apply({"params": p}, h)),
                         gp, x6), floor)
 
+    # --- the streaming rel-pos kernel alone at global shape, block sweep
+    from lvv_tpu.ops.attention import flash_attention_relpos
+    heads0 = cfg.model.sam.num_heads
+    hd0 = d // heads0
+    qg = jnp.asarray(rng.normal(size=(6, heads0, grid * grid, hd0)),
+                     jnp.bfloat16)
+    kg = jnp.asarray(rng.normal(size=qg.shape), jnp.bfloat16)
+    vg = jnp.asarray(rng.normal(size=qg.shape), jnp.bfloat16)
+    qrh_g = jnp.asarray(rng.normal(size=(6, heads0, grid * grid, grid)),
+                        jnp.bfloat16)
+    qrw_g = jnp.asarray(rng.normal(size=qrh_g.shape), jnp.bfloat16)
+    for bq, bk in ((1024, 1024), (2048, 1024), (2048, 2048), (512, 1024)):
+        def attn(h, bq=bq, bk=bk):
+            o = flash_attention_relpos(h, kg, vg, qrh_g, qrw_g,
+                                       scale=0.125, grid_w=grid,
+                                       block_q=bq, block_k=bk)
+            return h + o * jnp.bfloat16(1e-3)
+        rec(f"gattn_k_{bq}x{bk}", timed(loop(attn), qg), floor)
+
     # --- the glue alone: head split + q·R einsums + merge
     from lvv_tpu.models.sam import resize_rel_pos
     heads = cfg.model.sam.num_heads

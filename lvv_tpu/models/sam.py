@@ -156,14 +156,17 @@ class SAMAttention(nn.Module):
                 q_rw = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw,
                                   preferred_element_type=jnp.float32
                                   ).reshape(b, self.num_heads, h * w, w)
-                # windowed layers (196 tokens) run as one 256-padded block
-                # per (window, head) program; global layers use the tuned
-                # 1024x1024 tiles
-                blk = 256 if h * w <= 256 else 1024
+                # global layers: 2048x1024 tiles measured best; the kernel
+                # is MXU-efficiency-bound (head_dim 64 = half the MXU's
+                # contraction depth, ~50% intrinsic ceiling) — block sizes
+                # and bias construction barely move it
+                # (benchmarks/stage_bisect.json gattn_k_* sweep)
+                bq = 256 if h * w <= 256 else 2048
+                bk = 256 if h * w <= 256 else 1024
                 out = flash_attention_relpos(
                     q, k, v, q_rh.astype(q.dtype), q_rw.astype(q.dtype),
                     scale=1.0 / _math.sqrt(head_dim), grid_w=w,
-                    block_q=blk, block_k=blk,
+                    block_q=bq, block_k=bk,
                     interpret=fused_mlp._FORCE_INTERPRET)
                 out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
                 out = Dense(c, dtype=self.dtype, name="proj")(out)

@@ -266,9 +266,9 @@ def flash_attention(q, k, v, *, causal: bool = False,
 # Flash attention with decomposed relative-position bias (SAM global layers).
 # ----------------------------------------------------------------------------
 
-def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
-                         acc_ref, m_ref, l_ref, *, scale: float, w: int,
-                         s_valid: int):
+def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, eh_ref,
+                         o_ref, acc_ref, m_ref, l_ref, *, scale: float,
+                         w: int, s_valid: int):
     """Flash tile with bias computed in-kernel from the decomposed tables.
 
     qrh_ref [1,1,bq,GH]: full rows of q·Rh; qrw_ref [1,1,bq,W]: q·Rw for
@@ -280,7 +280,7 @@ def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
     """
     bq = q_ref.shape[2]
     bk = k_ref.shape[2]
-    gh = qrh_ref.shape[3]
+    gh = qrh_ref.shape[-1]
     ki = pl.program_id(3)
     num_kv = pl.num_programs(3)
 
@@ -296,17 +296,26 @@ def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref,
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     qrw = qrw_ref[0, 0].astype(jnp.float32)           # [bq, W]
-    qrh = qrh_ref[0, 0].astype(jnp.float32)           # [bq, GH]
-    # one-hot selector: sel[kh, col] = 1 iff kh == (k_start + col) // w
+    # 4D block (ragged path) or 5D banded block (aligned path) -> [bq, *]
+    qrh = qrh_ref[...].reshape(bq, qrh_ref.shape[-1]).astype(jnp.float32)
     k_start = ki * bk
-    rows = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 1)
-    sel = (rows == (k_start + cols) // w).astype(jnp.float32)
-    bias_h = jax.lax.dot_general(qrh, sel, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
     if bk % w == 0:
+        # aligned kv tiles: the BlockSpec already sliced qrh to this tile's
+        # kh band (GH*bk/S columns), so the expander matmul contracts over
+        # that thin band instead of the full GH one-hot (was ~1/3 of the
+        # global-layer MXU work, stage_bisect.json) — and the selector is a
+        # precomputed constant, no per-program iota build
+        bias_h = jax.lax.dot_general(qrh, eh_ref[...],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         bias_w = jnp.concatenate([qrw] * (bk // w), axis=1)   # [bq, bk]
     else:
+        # ragged tiles: one-hot selector matmuls
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (gh, bk), 1)
+        sel = (rows == (k_start + cols) // w).astype(jnp.float32)
+        bias_h = jax.lax.dot_general(qrh, sel, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         rows_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
         cols_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 1)
         sel_w = (rows_w == (k_start + cols_w) % w).astype(jnp.float32)
@@ -431,6 +440,24 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
                                s_valid=s_valid)
     grid = (b, h, s // block_q, s // block_k)
 
+    if block_k % grid_w == 0:
+        # aligned tiles: hand the kernel only this kv tile's kh band, plus
+        # a constant one-hot expander eh[r, col] = (col // w == r). TPU
+        # lowering requires the last block dim be lane-divisible or full,
+        # so the band becomes a full 5th dim: [B, H, n_kv, Sq, ghb]
+        ghb = gh * block_k // s
+        n_kv = s // block_k
+        q_rh = q_rh.reshape(b, h, s, n_kv, ghb).transpose(0, 1, 3, 2, 4)
+        qrh_spec = pl.BlockSpec((1, 1, 1, block_q, ghb),
+                                lambda b_, h_, i, j: (b_, h_, j, i, 0))
+        eh = (jnp.arange(ghb)[:, None]
+              == (jnp.arange(block_k) // grid_w)[None, :]
+              ).astype(jnp.float32)
+    else:
+        qrh_spec = pl.BlockSpec((1, 1, block_q, gh),
+                                lambda b_, h_, i, j: (b_, h_, i, 0))
+        eh = jnp.zeros((8, block_k), jnp.float32)   # unused placeholder
+
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -441,10 +468,10 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
                          lambda b_, h_, i, j: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda b_, h_, i, j: (b_, h_, j, 0)),
-            pl.BlockSpec((1, 1, block_q, gh),
-                         lambda b_, h_, i, j: (b_, h_, i, 0)),
+            qrh_spec,
             pl.BlockSpec((1, 1, block_q, grid_w),
                          lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec(eh.shape, lambda b_, h_, i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda b_, h_, i, j: (b_, h_, i, 0)),
@@ -456,9 +483,13 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # full-kv blocking (block_k = S) holds a (block_q, S) fp32
+            # logits tile — beyond the default 16 MB scope, well within
+            # physical VMEM
+            vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
-    )(q, k, v, q_rh, q_rw)[:, :, :s_out]
+    )(q, k, v, q_rh, q_rw, eh)[:, :, :s_out]
 
 
 # ----------------------------------------------------------------------------
