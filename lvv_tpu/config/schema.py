@@ -32,6 +32,12 @@ class SAMConfig:
     global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
     use_rel_pos: bool = True
     vary_dims: Tuple[int, ...] = (512, 1024)  # net_2, net_3 output channels
+    # The reference trains ONLY net_2/net_3 (deepencoder_infer.py:406-416
+    # freezes the rest of SAM). True = stop_gradient at the trunk boundary:
+    # matches that semantics exactly AND releases the backward pass from
+    # differentiating through the global-attention pallas kernels (whose
+    # recompute-backward would materialize 4.8 GB of bias).
+    frozen_trunk: bool = True
 
 
 @config

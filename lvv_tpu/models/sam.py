@@ -249,6 +249,11 @@ class SAMImageEncoder(nn.Module):
     vary_dims: Sequence[int] = (512, 1024)
     dtype: jnp.dtype = jnp.float32
     remat: bool = False   # jax.checkpoint per block (training memory)
+    # stop_gradient before the VARY head: the reference freezes all of SAM
+    # except net_2/net_3 (deepencoder_infer.py:406-416); this encodes that
+    # freeze structurally and keeps the backward pass out of the
+    # global-attention pallas kernels (no VJP needed for frozen weights)
+    frozen_trunk: bool = True
 
     @nn.compact
     def __call__(self, x_nchw):
@@ -278,6 +283,8 @@ class SAMImageEncoder(nn.Module):
         x = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="neck_conv2")(x)
         x = LayerNorm2d(name="neck_ln2")(x)
+        if self.frozen_trunk:
+            x = jax.lax.stop_gradient(x)
 
         # VARY compression head (trainable; reference :171-172 net_2/net_3)
         x = nn.Conv(self.vary_dims[0], (3, 3), strides=2, padding="SAME",

@@ -44,13 +44,27 @@ def make_train_step(model, tx, mesh, donate: bool = True):
 
     def step_fn(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
+        # Differentiate ONLY the trainable partition (the optimizer's own
+        # freeze plan): frozen subtrees enter the forward as stop_gradient
+        # constants, so (a) no tangents are built through the frozen SAM
+        # trunk's pallas attention kernels — which have no VJP for the
+        # global layers by design, their recompute-backward would
+        # materialize GBs of bias — and (b) the backward pass skips all
+        # frozen-weight work, exactly like the reference's
+        # requires_grad=False freeze (deepencoder_infer.py:406-416).
+        from ..train.optim import group_labels
+        frozen = jax.tree_util.tree_map(lambda lbl: lbl == "frozen",
+                                        group_labels(state.params))
 
         def loss_fn(p):
+            merged = jax.tree_util.tree_map(
+                lambda t, base, f: jax.lax.stop_gradient(base) if f else t,
+                p, state.params, frozen)
             # deterministic=False: configured dropout (adapter 0.05, VAT,
             # LoRA) must be live in training, matching the reference
             # trainer; eval keeps deterministic=True (make_eval_step).
             loss, logits, count = model.apply(
-                {"params": p}, batch, deterministic=False,
+                {"params": merged}, batch, deterministic=False,
                 rngs={"dropout": sub})
             return loss, (logits, count)
 

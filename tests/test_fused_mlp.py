@@ -172,3 +172,32 @@ def test_sam_windowed_block_full_kernel_path():
         fused_mlp.set_interpret(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_sam_frozen_trunk_stops_gradients():
+    """frozen_trunk (default, = reference freeze of everything but
+    net_2/net_3) must zero trunk grads WITHOUT requiring a VJP through the
+    attention kernels — this is what lets the full train step compile on
+    real TPU where SAM attention runs as pallas calls."""
+    import numpy as np
+    from lvv_tpu.models.sam import SAMImageEncoder
+    enc = SAMImageEncoder(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                          num_heads=2, window_size=2,
+                          global_attn_indexes=(1,), vary_dims=(16, 32),
+                          use_rel_pos=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 3, 32, 32)),
+                    jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+    g = jax.grad(lambda p: jnp.sum(
+        enc.apply({"params": p}, x) ** 2))(params)
+    gnorm = jax.tree_util.tree_map(
+        lambda t: float(jnp.sum(jnp.abs(t))), g)
+    assert gnorm["net_2"]["kernel"] > 0
+    assert gnorm["net_3"]["kernel"] > 0
+    for name, sub in gnorm.items():
+        if name.startswith("block_") or name in ("patch_embed",
+                                                 "neck_conv1", "neck_conv2",
+                                                 "neck_ln1", "neck_ln2"):
+            assert all(v == 0.0 for v in jax.tree_util.tree_leaves(sub)), \
+                (name, sub)
