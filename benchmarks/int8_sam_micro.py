@@ -11,8 +11,9 @@ both-operands path at SAM shapes:
   tokens [6 views x 4096, 768] x qkv [768, 2304]  (attention projection)
   tokens [24576, 768] x mlp [768, 3072]           (MLP up)
 
-Timing rule: scalar-reduce in an in-jit fori_loop (K>=8 big ops) so the
-axon tunnel latency amortizes.
+Timing: K=128 fori_loop with explicit empty-loop floor subtraction (the
+~31/K ms tunnel floor corrupted the first round of these numbers —
+reported "TFLOPS" columns were computed from floor-inflated times).
 """
 import json
 import pathlib
@@ -22,7 +23,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 import numpy as np
 
-K = 32
+K = 128
 
 
 def main():
@@ -43,33 +44,50 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
+    # floor: empty loop (tunnel roundtrip / K)
+    x0 = jnp.asarray(rng.normal(size=(256, 256)), jnp.bfloat16)
+    f0 = jax.jit(lambda x: jnp.sum(lax.fori_loop(
+        0, K, lambda _, h: h, x).astype(jnp.float32)))
+    floor = timed(f0, x0)
+    results["floor_ms_per_rep"] = round(floor / K * 1e3, 3)
+
     for m, k, n, tag in [(24576, 768, 2304, "qkv"),
-                         (24576, 768, 3072, "mlp_up"),
-                         (24576, 3072, 768, "mlp_down")]:
-        flops = 2 * m * k * n
-        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
-        w = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
-        xi = jnp.asarray((rng.normal(size=(m, k)) * 16).astype(np.int8))
-        wi = jnp.asarray((rng.normal(size=(k, n)) * 16).astype(np.int8))
+                         (24576, 768, 3072, "mlp_up")]:
+        # paired round-trip dots (m,k)@(k,n) then (m,n)@(n,k): the result
+        # feeds the next iteration at full rank, so XLA can elide nothing
+        # (a sliced consumer lets XLA shrink the matmul — bit us before)
+        flops = 2 * 2 * m * k * n
+        x = jnp.asarray(rng.normal(size=(m, k)) * 0.05, jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(k, n)) * 0.05, jnp.bfloat16)
+        w2 = jnp.asarray(rng.normal(size=(n, k)) * 0.05, jnp.bfloat16)
+        xi = jnp.asarray((rng.normal(size=(m, k)) * 16), np.int8)
+        wi = jnp.asarray((rng.normal(size=(k, n)) * 16), np.int8)
+        wi2 = jnp.asarray((rng.normal(size=(n, k)) * 16), np.int8)
 
         @jax.jit
-        def bf16_loop(x, w):
+        def bf16_loop(x, w, w2):
             def body(_, h):
-                y = jnp.dot(h, w)                    # [m, n]
-                # tiny non-zero feedback defeats DCE without changing cost
-                return h + y[:, :1] * jnp.bfloat16(1e-8)
-            return jnp.sum(lax.fori_loop(0, K, body, x).astype(jnp.float32))
+                y = jnp.dot(h, w, preferred_element_type=jnp.float32)
+                return jnp.dot(y.astype(jnp.bfloat16), w2,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+            return jnp.sum(lax.fori_loop(0, K, body, x)
+                           .astype(jnp.float32))
 
         @jax.jit
-        def int8_loop(xi, wi):
+        def int8_loop(xi, wi, wi2):
             def body(_, h):
                 y = lax.dot_general(h, wi, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-                return (h + (y[:, :1] & 1).astype(jnp.int8)).astype(jnp.int8)
-            return jnp.sum(lax.fori_loop(0, K, body, xi).astype(jnp.int32))
+                y8 = (y >> 7).astype(jnp.int8)       # cheap rescale
+                z = lax.dot_general(y8, wi2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                return (z >> 7).astype(jnp.int8)
+            return jnp.sum(lax.fori_loop(0, K, body, xi)
+                           .astype(jnp.int32))
 
-        t_bf = timed(bf16_loop, x, w)
-        t_i8 = timed(int8_loop, xi, wi)
+        t_bf = timed(bf16_loop, x, w, w2) - floor
+        t_i8 = timed(int8_loop, xi, wi, wi2) - floor
         tf_bf = K * flops / t_bf / 1e12
         tf_i8 = K * flops / t_i8 / 1e12
         results[tag] = {"bf16_tflops": round(tf_bf, 1),
