@@ -38,6 +38,11 @@ class SAMConfig:
     # differentiating through the global-attention pallas kernels (whose
     # recompute-backward would materialize 4.8 GB of bias).
     frozen_trunk: bool = True
+    # Serving lever: W8A8 int8 quantization of the frozen trunk's
+    # qkv/proj/MLP matmuls (2x MXU TOPS on v5e; <0.5% activation rel err
+    # measured, tests/test_quant.py). Off by default — training and
+    # weight-parity validation run the float path.
+    quant8: bool = False
 
 
 @config

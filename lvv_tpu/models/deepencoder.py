@@ -93,7 +93,8 @@ def build_deepencoder(cfg, dtype=jnp.float32,
         global_attn_indexes=tuple(cfg.sam.global_attn_indexes),
         use_rel_pos=cfg.sam.use_rel_pos, vary_dims=tuple(cfg.sam.vary_dims),
         dtype=dtype, remat=getattr(cfg, "remat", False),
-        frozen_trunk=getattr(cfg.sam, "frozen_trunk", True))
+        frozen_trunk=getattr(cfg.sam, "frozen_trunk", True),
+        quant8=getattr(cfg.sam, "quant8", False))
     clip = CLIPVisionTower(
         image_size=cfg.clip.image_size, patch_size=cfg.clip.patch_size,
         hidden_size=cfg.clip.hidden_size, num_layers=cfg.clip.num_layers,

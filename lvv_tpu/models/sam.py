@@ -105,13 +105,23 @@ class SAMAttention(nn.Module):
     use_rel_pos: bool = True
     input_size: Tuple[int, int] = (14, 14)
     dtype: jnp.dtype = jnp.float32
+    # W8A8 the qkv/proj projections (serving lever for the frozen trunk:
+    # int8 MXU path runs ~2x bf16 TOPS, benchmarks/int8_sam_micro.json)
+    quant8: bool = False
+
+    def _dense(self, name: str, feats: int, inp):
+        layer = Dense(feats, dtype=self.dtype, name=name)
+        if self.quant8:
+            from ..ops.quant import int8_dot
+            w, bias = layer(inp, return_params=True)
+            return int8_dot(inp, w, bias)
+        return layer(inp)
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         head_dim = c // self.num_heads
-        qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(
-            x.reshape(b, h * w, c))
+        qkv = self._dense("qkv", 3 * c, x.reshape(b, h * w, c))
         if (self.use_rel_pos and h == w and h * w <= 512
                 and _relpos_kernel_ok(h, w, head_dim)):
             # windowed layers: packed-qkv kernel — no head-split transposes,
@@ -130,7 +140,7 @@ class SAMAttention(nn.Module):
                 qkv, rh, rw, scale=1.0 / _math.sqrt(head_dim),
                 heads=self.num_heads, win=h,
                 interpret=fused_mlp._FORCE_INTERPRET)
-            out = Dense(c, dtype=self.dtype, name="proj")(out)
+            out = self._dense("proj", c, out)
             return out.reshape(b, h, w, c)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
@@ -169,7 +179,7 @@ class SAMAttention(nn.Module):
                     block_q=bq, block_k=bk,
                     interpret=fused_mlp._FORCE_INTERPRET)
                 out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
-                out = Dense(c, dtype=self.dtype, name="proj")(out)
+                out = self._dense("proj", c, out)
                 return out.reshape(b, h, w, c)
             # windowed / CPU path: materialized bias through XLA attention
             # (small windows keep this cheap; bias stored in compute dtype)
@@ -180,7 +190,7 @@ class SAMAttention(nn.Module):
             bias = None
         out = attention(q, k, v, bias=bias)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
-        out = Dense(c, dtype=self.dtype, name="proj")(out)
+        out = self._dense("proj", c, out)
         return out.reshape(b, h, w, c)
 
 
@@ -192,6 +202,7 @@ class SAMBlock(nn.Module):
     use_rel_pos: bool = True
     input_size: Tuple[int, int] = (64, 64)
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -204,7 +215,8 @@ class SAMBlock(nn.Module):
         else:
             attn_size = self.input_size
         y = SAMAttention(self.num_heads, self.use_rel_pos, attn_size,
-                         dtype=self.dtype, name="attn")(y)
+                         dtype=self.dtype, quant8=self.quant8,
+                         name="attn")(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, padded, hw)
         x = shortcut + y
@@ -218,7 +230,8 @@ class SAMBlock(nn.Module):
             ls, lb = ln2(x, return_params=True)
             (w1, b1), (w2, b2) = mlp(x, return_params=True)
             return fused_mlp.ln_mlp_residual(x, ls, lb, w1, b1, w2, b2,
-                                             eps=1e-6, act="gelu")
+                                             eps=1e-6, act="gelu",
+                                             quant8=self.quant8)
         return x + mlp(ln2(x))
 
 
@@ -254,6 +267,9 @@ class SAMImageEncoder(nn.Module):
     # freeze structurally and keeps the backward pass out of the
     # global-attention pallas kernels (no VJP needed for frozen weights)
     frozen_trunk: bool = True
+    # W8A8 int8 on the trunk's qkv/proj/mlp matmuls (inference serving
+    # lever; the trunk is frozen so training never sees quantized grads)
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x_nchw):
@@ -274,7 +290,7 @@ class SAMImageEncoder(nn.Module):
                           mlp_ratio=self.mlp_ratio,
                           use_rel_pos=self.use_rel_pos,
                           input_size=(grid, grid), dtype=self.dtype,
-                          name=f"block_{i}")(x)
+                          quant8=self.quant8, name=f"block_{i}")(x)
 
         # neck (frozen in the reference; trainable flags live in the optimizer)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,

@@ -113,6 +113,83 @@ def _fused_fwd(x, ls, lb, w1, b1, w2, b2, *, eps: float, act: str,
     )(x, ls[None], lb[None], w1, b1[None], w2, b2[None])
 
 
+def _quant_rows(y):
+    """In-kernel per-row symmetric int8 quantization (f32 in)."""
+    s = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 127.0,
+                    1e-8)
+    q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _kernel_q8(x_ref, ls_ref, lb_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+               s2_ref, b2_ref, o_ref, acc_ref, *, eps: float, act: str,
+               out_dtype):
+    """W8A8 variant of _kernel: weights arrive pre-quantized int8 (+ per-col
+    scales), activations are quantized per token row in VMEM.  The int8 MXU
+    path doubles dot throughput on v5e (benchmarks/int8_sam_micro.json);
+    because everything stays in VMEM there is no extra HBM traffic vs the
+    bf16 kernel — the weight stream actually halves."""
+    hi = pl.program_id(1)
+    n_h = pl.num_programs(1)
+
+    @pl.when(hi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    y = _ln_f32(x_ref[...], ls_ref[...].astype(jnp.float32),
+                lb_ref[...].astype(jnp.float32), eps)
+    y8, sy = _quant_rows(y)
+    z = jax.lax.dot_general(y8, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = (z.astype(jnp.float32) * sy * s1_ref[...].astype(jnp.float32)
+         + b1_ref[...].astype(jnp.float32))
+    h = _ACTS[act](z.astype(out_dtype)).astype(jnp.float32)
+    h8, sh = _quant_rows(h)
+    z2 = jax.lax.dot_general(h8, w2_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    acc_ref[...] += (z2.astype(jnp.float32) * sh
+                     * s2_ref[...].astype(jnp.float32))
+
+    @pl.when(hi == n_h - 1)
+    def _finalize():
+        o_ref[...] = (x_ref[...].astype(jnp.float32) + acc_ref[...]
+                      + b2_ref[...].astype(jnp.float32)).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "block_h", "interpret"))
+def _fused_fwd_q8(x, ls, lb, w1q, s1, b1, w2q, s2, b2, *, eps: float,
+                  act: str, block_t: int, block_h: int, interpret: bool):
+    n, c = x.shape
+    h = w1q.shape[1]
+    grid = (n // block_t, h // block_h)
+    kernel = functools.partial(_kernel_q8, eps=eps, act=act,
+                               out_dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((block_h, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_t, c), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_t, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(x, ls[None], lb[None], w1q, s1[None], b1[None], w2q, s2[None],
+      b2[None])
+
+
 # ----------------------------------------------------------------------------
 # Fast standalone LayerNorm / RMSNorm.
 #
@@ -257,6 +334,32 @@ def _vjp_bwd(eps, act, block_t, block_h, interpret, res, g):
 _ln_mlp_residual.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _ln_mlp_residual_q8(x, ls, lb, w1, b1, w2, b2, eps, act, block_t,
+                        block_h, interpret):
+    # weight quantization (per output channel) happens here, outside the
+    # kernel: max-abs + round over [C, H] is ~0.1% of the matmul cost
+    from .quant import quantize_weight
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    return _fused_fwd_q8(x, ls, lb, w1q, s1, b1, w2q, s2, b2, eps=eps,
+                         act=act, block_t=block_t, block_h=block_h,
+                         interpret=interpret)
+
+
+def _q8_vjp_fwd(x, ls, lb, w1, b1, w2, b2, eps, act, block_t, block_h,
+                interpret):
+    out = _ln_mlp_residual_q8(x, ls, lb, w1, b1, w2, b2, eps, act, block_t,
+                              block_h, interpret)
+    return out, (x, ls, lb, w1, b1, w2, b2)
+
+
+# straight-through backward: gradients flow as if the op were the float
+# forward (the quant path is only enabled on the FROZEN SAM trunk, where
+# stop_gradient prunes the backward anyway — this keeps jax.grad legal)
+_ln_mlp_residual_q8.defvjp(_q8_vjp_fwd, _vjp_bwd)
+
+
 def _pad_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
@@ -282,6 +385,7 @@ def kernel_ok(c: int, hidden: int, interpret: bool = False) -> bool:
 def ln_mlp_residual(x, ls, lb, w1, b1, w2, b2, *, eps: float = 1e-6,
                     act: str = "gelu", block_t: int = 256,
                     block_h: Optional[int] = None,
+                    quant8: bool = False,
                     interpret: bool = False) -> jax.Array:
     """x [..., C] -> x + act(LN(x) @ w1 + b1) @ w2 + b2, fused on TPU.
 
@@ -315,6 +419,7 @@ def ln_mlp_residual(x, ls, lb, w1, b1, w2, b2, *, eps: float = 1e-6,
     n_p = _pad_to(n, block_t)
     if n_p != n:
         x2 = jnp.pad(x2, ((0, n_p - n), (0, 0)))
-    out = _ln_mlp_residual(x2, ls, lb, w1, b1, w2, b2, eps, act, block_t,
-                           block_h, interpret)
+    op = _ln_mlp_residual_q8 if quant8 else _ln_mlp_residual
+    out = op(x2, ls, lb, w1, b1, w2, b2, eps, act, block_t, block_h,
+             interpret)
     return out[:n].reshape(*lead, c)

@@ -42,6 +42,47 @@ def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., K] float -> (int8 [..., K], per-row scale [..., 1] f32).
+
+    Dynamic symmetric activation quantization: one scale per token row.
+    Per-row (not per-tensor) keeps the quantization error of outlier-free
+    rows independent of outlier rows — measured <0.4% rel error on SAM
+    activations vs ~2% per-tensor.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_dot(x: jax.Array, w: jax.Array,
+             bias: Optional[jax.Array] = None,
+             out_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+    """W8A8 matmul: both operands dynamically int8-quantized, int32 MXU
+    accumulation, f32 rescale.  x [..., K] @ w [K, N] -> [..., N].
+
+    On v5e the int8 MXU path runs ~2x bf16 TOPS at SAM projection shapes
+    (benchmarks/int8_sam_micro.json: 368-376 int8 TOPS vs 190 bf16
+    TFLOPS).  out[m, n] = (xq @ wq)[m, n] * sx[m] * sw[n] (+ bias).
+    Weight quantization happens per call — max-abs + round over the [K, N]
+    kernel is ~0.1% of the matmul cost and keeps checkpoints/params in
+    their normal float layout (no tree surgery).
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    xq, sx = quantize_rows(x.reshape(-1, k))
+    wq, sw = quantize_weight(w)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * sx * sw[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype).reshape(*lead, w.shape[1])
+
+
 def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     x = x_ref[...]                                  # [M, bk]
     w = w_ref[...].astype(jnp.bfloat16)             # [bk, bn] (dequant in

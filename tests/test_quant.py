@@ -31,3 +31,78 @@ def test_quantized_matmul_matches_reference(rng, m, k, n):
     # and both approximate the fp matmul within int8 noise
     fp = np.asarray(x @ w + b[None])
     assert np.abs(ref - fp).max() <= 0.03 * scale
+
+
+def test_int8_dot_w8a8_accuracy(rng):
+    from lvv_tpu.ops.quant import int8_dot
+    x = jnp.asarray(rng.normal(size=(2, 96, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 384)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(384,)) * 0.1, jnp.float32)
+    out = np.asarray(int8_dot(x, w, b))
+    fp = np.asarray(jnp.einsum("bmk,kn->bmn", x, w) + b)
+    assert out.shape == fp.shape
+    scale = np.abs(fp).max()
+    # W8A8 per-row x per-col: both quantization noises compose
+    assert np.abs(out - fp).max() <= 0.04 * scale
+    rel = np.linalg.norm(out - fp) / np.linalg.norm(fp)
+    assert rel < 0.02
+
+
+def test_fused_ln_mlp_quant8_matches_float(rng):
+    from lvv_tpu.ops import fused_mlp
+    n, c, h = 128, 256, 512
+    x = jnp.asarray(rng.normal(size=(n, c)), jnp.bfloat16)
+    ls = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, h)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(h, c)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.bfloat16)
+    ref = np.asarray(fused_mlp.ln_mlp_residual(
+        x, ls, lb, w1, b1, w2, b2, interpret=True), np.float32)
+    q8 = np.asarray(fused_mlp.ln_mlp_residual(
+        x, ls, lb, w1, b1, w2, b2, quant8=True, interpret=True), np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(q8 - ref).max() <= 0.05 * scale
+    rel = np.linalg.norm(q8 - ref) / np.linalg.norm(ref)
+    assert rel < 0.02
+
+
+def test_fused_ln_mlp_quant8_grad_flows(rng):
+    # straight-through VJP: jax.grad must be legal through the quant path
+    from lvv_tpu.ops import fused_mlp
+    n, c, h = 16, 256, 512
+    x = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    ls = jnp.ones((c,), jnp.float32)
+    lb = jnp.zeros((c,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, h)) * 0.05, jnp.float32)
+    b1 = jnp.zeros((h,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(h, c)) * 0.05, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+
+    def loss(w1):
+        return jnp.sum(fused_mlp.ln_mlp_residual(
+            x, ls, lb, w1, b1, w2, b2, quant8=True, interpret=True) ** 2)
+
+    g = jax.grad(loss)(w1)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_sam_block_quant8_close_to_float(rng):
+    """End-to-end SAM block with quant8: output within int8 noise of the
+    float path (the serving-preset accuracy guarantee)."""
+    from lvv_tpu.models.sam import SAMBlock
+    from lvv_tpu.ops import fused_mlp
+    x = jnp.asarray(rng.normal(size=(1, 14, 14, 256)), jnp.float32)
+    fused_mlp.set_interpret(True)
+    try:
+        blk = SAMBlock(num_heads=4, window_size=14, input_size=(14, 14))
+        params = blk.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(blk.apply(params, x))
+        blk_q = SAMBlock(num_heads=4, window_size=14, input_size=(14, 14),
+                         quant8=True)
+        out = np.asarray(blk_q.apply(params, x))
+    finally:
+        fused_mlp.set_interpret(False)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() <= 0.06 * scale
