@@ -18,6 +18,7 @@ this stack).
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import time
 
@@ -38,6 +39,13 @@ def main():
     from lvv_tpu.models import VQAModel, greedy_generate
 
     cfg = default_config()
+    if os.environ.get("LVV_BENCH_QUANT8", "1") == "1":
+        # serving mode: W8A8 the frozen SAM trunk (int8 MXU path; <1.5%
+        # activation rel err, tests/test_quant.py; measured kernel-level
+        # 1.3-1.6x, benchmarks/int8_fused_micro.json)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, sam=dataclasses.replace(cfg.model.sam, quant8=True)))
     model = VQAModel(cfg.model, dtype=jnp.bfloat16)
 
     b, t = 1, 24

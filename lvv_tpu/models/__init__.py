@@ -14,7 +14,8 @@ from .anchor_head import (AnchorHead, ResidualBoxCoder, anchor_head_loss,
 from .centerpoint import CenterPointDetector, height_compression
 from .pointnet2 import (FeaturePropagation, PointNet2Backbone,
                         SetAbstraction, SetAbstractionMSG)
-from .pointpillars import (BaseBEVBackbone, DenseCenterHead, PillarVFE,
+from .pointpillars import (BaseBEVBackbone, BaseBEVBackboneV1,
+                           BaseBEVResBackbone, DenseCenterHead, PillarVFE,
                            PointPillarsDetector, pillar_scatter)
 from .registry import DETECTORS, build_detector, register_detector
 from .roi_head import (RoIHead, proposal_targets, refine_boxes,

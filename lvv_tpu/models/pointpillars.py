@@ -113,6 +113,102 @@ class BaseBEVBackbone(nn.Module):
         return out[0].transpose(2, 0, 1)          # [C, H, W]
 
 
+class _ResBlock2D(nn.Module):
+    """BasicBlock (reference base_bev_backbone.py:207-249): two 3x3 convs +
+    identity (1x1-projected when strided/channel-changing)."""
+    channels: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        idn = x
+        y = nn.Conv(self.channels, (3, 3), strides=self.stride,
+                    padding="SAME", use_bias=False, name="conv1")(x)
+        y = nn.relu(nn.LayerNorm(name="n1")(y))
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    name="conv2")(y)
+        y = nn.LayerNorm(name="n2")(y)
+        if self.stride != 1 or x.shape[-1] != self.channels:
+            idn = nn.Conv(self.channels, (1, 1), strides=self.stride,
+                          use_bias=False, name="down")(x)
+            idn = nn.LayerNorm(name="dn")(idn)
+        return nn.relu(y + idn)
+
+
+class BaseBEVResBackbone(nn.Module):
+    """Residual multi-scale BEV trunk (reference
+    base_bev_backbone.py:252-351 BaseBEVResBackbone): per level a strided
+    _ResBlock2D then layer_nums[i] unit-stride ones; each level upsampled
+    back and concatenated, exactly the BaseBEVBackbone topology with
+    residual blocks."""
+    layer_channels: Tuple[int, ...] = (64, 128, 256)
+    layer_strides: Tuple[int, ...] = (2, 2, 2)
+    layer_nums: Tuple[int, ...] = (1, 1, 1)
+    upsample_channels: Tuple[int, ...] = (128, 128, 128)
+
+    @nn.compact
+    def __call__(self, x_chw: jax.Array) -> jax.Array:
+        x = x_chw[None].transpose(0, 2, 3, 1)     # NHWC
+        ups = []
+        total_stride = 1
+        for i, (ch, st, n) in enumerate(zip(self.layer_channels,
+                                            self.layer_strides,
+                                            self.layer_nums)):
+            x = _ResBlock2D(ch, stride=st, name=f"res{i}_0")(x)
+            for k in range(n):
+                x = _ResBlock2D(ch, name=f"res{i}_{k + 1}")(x)
+            total_stride *= st
+            up = nn.ConvTranspose(self.upsample_channels[i],
+                                  (total_stride, total_stride),
+                                  strides=(total_stride, total_stride),
+                                  use_bias=False, name=f"up{i}")(x)
+            up = nn.relu(nn.LayerNorm(name=f"uln{i}")(up))
+            if ups:
+                up = up[:, :ups[0].shape[1], :ups[0].shape[2], :]
+            ups.append(up)
+        out = jnp.concatenate(ups, axis=-1)
+        return out[0].transpose(2, 0, 1)          # [C, H, W]
+
+
+class BaseBEVBackboneV1(nn.Module):
+    """Two-level FPN-style BEV neck (reference base_bev_backbone.py:115-204
+    BaseBEVBackboneV1): consumes a sparse trunk's multi-scale x_conv4 /
+    x_conv5 dense maps, deconv-upsamples each to the x_conv4 resolution,
+    concatenates, and refines with the level-0 conv stack."""
+    num_filters: Tuple[int, int] = (128, 256)
+    layer_nums: Tuple[int, int] = (5, 5)
+    upsample_channels: Tuple[int, int] = (256, 256)
+    upsample_strides: Tuple[int, int] = (1, 2)
+
+    def _stack(self, x, ch, n, tag):
+        for k in range(n + 1):
+            x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+                        name=f"{tag}_conv{k}")(x)
+            x = nn.relu(nn.LayerNorm(name=f"{tag}_ln{k}")(x))
+        return x
+
+    @nn.compact
+    def __call__(self, x_conv4_chw: jax.Array,
+                 x_conv5_chw: jax.Array) -> jax.Array:
+        x4 = x_conv4_chw[None].transpose(0, 2, 3, 1)
+        x5 = x_conv5_chw[None].transpose(0, 2, 3, 1)
+        s0, s1 = self.upsample_strides
+        up0 = nn.ConvTranspose(self.upsample_channels[0], (s0, s0),
+                               strides=(s0, s0), use_bias=False,
+                               name="de0")(x4)
+        up0 = nn.relu(nn.LayerNorm(name="de0_ln")(up0))
+        x5 = self._stack(x5, self.num_filters[1], self.layer_nums[1], "b1")
+        up1 = nn.ConvTranspose(self.upsample_channels[1], (s1, s1),
+                               strides=(s1, s1), use_bias=False,
+                               name="de1")(x5)
+        up1 = nn.relu(nn.LayerNorm(name="de1_ln")(up1))
+        up1 = up1[:, :up0.shape[1], :up0.shape[2], :]
+        x = jnp.concatenate([up0, up1], axis=-1)
+        x = self._stack(x, sum(self.upsample_channels),
+                        self.layer_nums[0], "b0")
+        return x[0].transpose(2, 0, 1)
+
+
 class DenseCenterHead(nn.Module):
     """Dense CenterPoint-style head (reference dense_heads/center_head.py):
     shared conv then hm/center/center_z/dim/rot branches."""

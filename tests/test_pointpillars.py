@@ -40,3 +40,28 @@ def test_pointpillars_forward_and_detect():
                      method=PointPillarsDetector.detect)
     assert dets.boxes.shape == (cfg.model.voxelnext.nms_post_max, 9)
     assert np.isfinite(np.asarray(dets.boxes)).all()
+
+
+def test_bev_res_backbone_shapes(rng):
+    from lvv_tpu.models.pointpillars import BaseBEVResBackbone
+    x = jnp.asarray(rng.normal(size=(32, 40, 40)), jnp.float32)
+    m = BaseBEVResBackbone(layer_channels=(32, 64), layer_strides=(1, 2),
+                           layer_nums=(1, 1), upsample_channels=(32, 32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    # stride-1 first level keeps resolution; channels = sum(upsample)
+    assert out.shape == (64, 40, 40)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bev_backbone_v1_shapes(rng):
+    from lvv_tpu.models.pointpillars import BaseBEVBackboneV1
+    x4 = jnp.asarray(rng.normal(size=(64, 40, 40)), jnp.float32)
+    x5 = jnp.asarray(rng.normal(size=(128, 20, 20)), jnp.float32)
+    m = BaseBEVBackboneV1(num_filters=(64, 128), layer_nums=(2, 2),
+                          upsample_channels=(64, 64),
+                          upsample_strides=(1, 2))
+    p = m.init(jax.random.PRNGKey(0), x4, x5)
+    out = m.apply(p, x4, x5)
+    assert out.shape == (128, 40, 40)
+    assert np.isfinite(np.asarray(out)).all()
