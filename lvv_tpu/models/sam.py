@@ -85,6 +85,16 @@ def window_unpartition(x: jax.Array, window: int, padded_hw, hw):
     return x[:, :h, :w]
 
 
+def _q8_scope() -> frozenset:
+    """Which sub-paths quant8 applies to — a trace-time tuning knob
+    (LVV_Q8_SCOPE env: comma-set of dense,mlp,attn; default all). The e2e
+    win of each sub-lever differs from its microbenchmark (fusion
+    interactions), so the serving preset pins the measured-best set."""
+    import os
+    return frozenset(os.environ.get("LVV_Q8_SCOPE",
+                                    "dense,mlp,attn").split(","))
+
+
 def _relpos_kernel_ok(h: int, w: int, head_dim: int) -> bool:
     """Eligibility for the in-kernel rel-pos flash path (TPU, MXU head
     dims). Covers BOTH the 64x64 global layers and the 14x14 windowed
@@ -111,10 +121,10 @@ class SAMAttention(nn.Module):
 
     def _dense(self, name: str, feats: int, inp):
         layer = Dense(feats, dtype=self.dtype, name=name)
-        if self.quant8:
-            from ..ops.quant import int8_dot
+        if self.quant8 and "dense" in _q8_scope():
+            from ..ops.quant import w8a8_matmul
             w, bias = layer(inp, return_params=True)
-            return int8_dot(inp, w, bias)
+            return w8a8_matmul(inp, w, bias)
         return layer(inp)
 
     @nn.compact
@@ -177,6 +187,7 @@ class SAMAttention(nn.Module):
                     q, k, v, q_rh.astype(q.dtype), q_rw.astype(q.dtype),
                     scale=1.0 / _math.sqrt(head_dim), grid_w=w,
                     block_q=bq, block_k=bk,
+                    quant8=self.quant8 and "attn" in _q8_scope(),
                     interpret=fused_mlp._FORCE_INTERPRET)
                 out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
                 out = self._dense("proj", c, out)
@@ -231,7 +242,8 @@ class SAMBlock(nn.Module):
             (w1, b1), (w2, b2) = mlp(x, return_params=True)
             return fused_mlp.ln_mlp_residual(x, ls, lb, w1, b1, w2, b2,
                                              eps=1e-6, act="gelu",
-                                             quant8=self.quant8)
+                                             quant8=self.quant8 and
+                                             "mlp" in _q8_scope())
         return x + mlp(ln2(x))
 
 

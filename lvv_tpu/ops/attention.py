@@ -267,8 +267,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
 # ----------------------------------------------------------------------------
 
 def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, eh_ref,
-                         o_ref, acc_ref, m_ref, l_ref, *, scale: float,
-                         w: int, s_valid: int):
+                         sv_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                         scale: float, w: int, s_valid: int, quant8: bool):
     """Flash tile with bias computed in-kernel from the decomposed tables.
 
     qrh_ref [1,1,bq,GH]: full rows of q·Rh; qrw_ref [1,1,bq,W]: q·Rw for
@@ -328,13 +328,29 @@ def _flash_relpos_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, eh_ref,
 
     m_prev = m_ref[:, 0]
     l_prev = l_ref[:, 0]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    smax = jnp.max(s, axis=-1)
+    m_new = jnp.maximum(m_prev, smax)
     p = jnp.exp(s - m_new[:, None])
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1)
-    acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
-        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if quant8:
+        # int8 p@v: per-row dynamic scale is FREE — the row max of p is
+        # exactly exp(smax - m_new), already computed for the online
+        # softmax (diffuse rows would lose badly under a static scale).
+        # v arrives pre-quantized per column (sv). The kv-depth
+        # contraction gets the full int8 MXU doubling (q@k cannot —
+        # contraction depth = head_dim 64).
+        sp = jnp.maximum(jnp.exp(smax - m_new), 1e-30)
+        p8 = jnp.round(p * (127.0 / sp)[:, None]).astype(jnp.int8)
+        z = jax.lax.dot_general(p8, vb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sv = sv_ref[...].reshape(1, z.shape[-1]).astype(jnp.float32)
+        pv = (z.astype(jnp.float32) * (sp * (1.0 / 127.0))[:, None]) * sv
+    else:
+        pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
     m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
 
@@ -387,10 +403,11 @@ def _relpos_mh_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "grid_w", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "quant8",
+                                             "interpret"))
 def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
                            block_q: int = 1024, block_k: int = 1024,
-                           interpret: bool = False):
+                           quant8: bool = False, interpret: bool = False):
     """Self-attention with decomposed rel-pos bias, never materializing the
     [S, S] logits/bias (SAM global layers: S=4096 saves ~2.4 GB/layer/view).
 
@@ -436,8 +453,18 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
                 dimension_semantics=("parallel",)),
             interpret=interpret,
         )(q, k, v, q_rh, q_rw)[:, :, :s_out]
+    if quant8:
+        # per-(batch, head, channel) symmetric int8 for v; padded rows are
+        # zeros and quantize to 0. p is quantized IN-kernel (static scale
+        # 127 — softmax rows have max exactly 1).
+        sv = jnp.maximum(jnp.max(jnp.abs(v.astype(jnp.float32)), axis=2,
+                                 keepdims=True) / 127.0, 1e-8)
+        v = jnp.clip(jnp.round(v.astype(jnp.float32) / sv), -127,
+                     127).astype(jnp.int8)
+    else:
+        sv = jnp.ones((b, h, 1, d), jnp.float32)
     kernel = functools.partial(_flash_relpos_kernel, scale=scale, w=grid_w,
-                               s_valid=s_valid)
+                               s_valid=s_valid, quant8=quant8)
     grid = (b, h, s // block_q, s // block_k)
 
     if block_k % grid_w == 0:
@@ -472,6 +499,7 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
             pl.BlockSpec((1, 1, block_q, grid_w),
                          lambda b_, h_, i, j: (b_, h_, i, 0)),
             pl.BlockSpec(eh.shape, lambda b_, h_, i, j: (0, 0)),
+            pl.BlockSpec((1, 1, 1, d), lambda b_, h_, i, j: (b_, h_, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda b_, h_, i, j: (b_, h_, i, 0)),
@@ -489,7 +517,7 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
             # physical VMEM
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
-    )(q, k, v, q_rh, q_rw, eh)[:, :, :s_out]
+    )(q, k, v, q_rh, q_rw, eh, sv)[:, :, :s_out]
 
 
 # ----------------------------------------------------------------------------

@@ -57,6 +57,79 @@ def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _w8a8_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref, *, out_dtype):
+    """One (m-tile, n-tile) program: quantize x rows in VMEM, int8 MXU dot,
+    dequant + bias in VMEM — the int32/f32 intermediates never touch HBM
+    (the XLA int8_dot materializes them: measured a net LOSS e2e)."""
+    x = x_ref[...].astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0,
+                     1e-8)
+    x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    z = jax.lax.dot_general(x8, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    out = (z.astype(jnp.float32) * sx * sw_ref[...].astype(jnp.float32)
+           + b_ref[...].astype(jnp.float32))
+    o_ref[...] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "interpret"))
+def _w8a8_tpu(x, wq, sw, bias, *, block_m: int, block_n: int,
+              interpret: bool):
+    m, k = x.shape
+    n = wq.shape[1]
+    return pl.pallas_call(
+        functools.partial(_w8a8_kernel, out_dtype=x.dtype),
+        grid=(m // block_m, n // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(x, wq, sw[None], bias[None])
+
+
+def w8a8_matmul(x: jax.Array, w: jax.Array,
+                bias: Optional[jax.Array] = None,
+                block_m: int = 512, block_n: int = 768,
+                interpret: bool = False) -> jax.Array:
+    """Fused W8A8 matmul: x [..., K] @ w [K, N] (+bias) with both-operand
+    int8 quantization entirely in VMEM (Pallas on TPU; plain-XLA int8_dot
+    elsewhere). K must fit a VMEM-resident weight stripe (true for every
+    SAM/CLIP projection)."""
+    from . import fused_mlp as _fm
+    lead, k = x.shape[:-1], x.shape[-1]
+    n = w.shape[1]
+    use_pallas = (interpret or _fm._FORCE_INTERPRET
+                  or jax.default_backend() == "tpu")
+    if not use_pallas or k % 128 or n % 128:
+        return int8_dot(x, w, bias)
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    wq, sw = quantize_weight(w)
+    m = 1
+    for d_ in lead:
+        m *= d_
+    x2 = x.reshape(m, k)
+    bm = min(block_m, max(8, -(-m // 8) * 8))
+    bn = min(block_n, n)
+    while n % bn:
+        bn //= 2
+    m_p = -(-m // bm) * bm
+    if m_p != m:
+        x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
+    out = _w8a8_tpu(x2, wq, sw, bias, block_m=bm, block_n=bn,
+                    interpret=interpret or _fm._FORCE_INTERPRET)
+    return out[:m].reshape(*lead, n)
+
+
 def int8_dot(x: jax.Array, w: jax.Array,
              bias: Optional[jax.Array] = None,
              out_dtype: Optional[jnp.dtype] = None) -> jax.Array:

@@ -102,3 +102,29 @@ def test_window_attention_packed_matches_oracle(key, win, heads, hd):
                                   scale=1.0 / math.sqrt(hd), heads=heads,
                                   win=win, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_relpos_quant8_close_to_float(rng):
+    """int8 p@v path (serving mode): within int8 noise of the float
+    kernel on the streaming (large-S) path."""
+    import jax.numpy as jnp
+    from lvv_tpu.ops.attention import flash_attention_relpos
+    b, h, gh, gw, d = 1, 2, 32, 32, 64
+    s = gh * gw
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    qrh = jnp.asarray(rng.normal(size=(b, h, s, gh)) * 0.1, jnp.float32)
+    qrw = jnp.asarray(rng.normal(size=(b, h, s, gw)) * 0.1, jnp.float32)
+    kw = dict(scale=0.125, grid_w=gw, block_q=512, block_k=512,
+              interpret=True)
+    ref = np.asarray(flash_attention_relpos(q, k, v, qrh, qrw, **kw))
+    out = np.asarray(flash_attention_relpos(q, k, v, qrh, qrw, quant8=True,
+                                            **kw))
+    # error bound is set by the QUANTIZED operands' scales, not the output
+    # scale (attention averages random v toward 0): v-quant error <= half a
+    # step = max|v| / 254, plus p-quant noise of the same order
+    v_scale = np.abs(np.asarray(v)).max()
+    assert np.abs(out - ref).max() <= 2.5 * v_scale / 254
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.03

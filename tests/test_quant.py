@@ -106,3 +106,15 @@ def test_sam_block_quant8_close_to_float(rng):
         fused_mlp.set_interpret(False)
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() <= 0.06 * scale
+
+
+def test_w8a8_matmul_matches_int8_dot(rng):
+    from lvv_tpu.ops.quant import int8_dot, w8a8_matmul
+    x = jnp.asarray(rng.normal(size=(2, 70, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 384)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(384,)) * 0.1, jnp.float32)
+    ref = np.asarray(int8_dot(x, w, b))           # XLA path (same math)
+    out = np.asarray(w8a8_matmul(x, w, b, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-3 * np.abs(ref).max())
+    fp = np.asarray(jnp.einsum("bmk,kn->bmn", x, w) + b)
+    assert np.abs(out - fp).max() <= 0.04 * np.abs(fp).max()
