@@ -45,7 +45,9 @@ def main():
         # 1.3-1.6x, benchmarks/int8_fused_micro.json)
         import dataclasses
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, sam=dataclasses.replace(cfg.model.sam, quant8=True)))
+            cfg.model,
+            sam=dataclasses.replace(cfg.model.sam, quant8=True),
+            clip=dataclasses.replace(cfg.model.clip, quant8=True)))
     model = VQAModel(cfg.model, dtype=jnp.bfloat16)
 
     b, t = 1, 24

@@ -55,6 +55,8 @@ class CLIPConfig:
     num_heads: int = 16
     intermediate_size: int = 4096
     layer_norm_eps: float = 1e-5
+    # serving lever: W8A8 the fused MLPs (see SAMConfig.quant8)
+    quant8: bool = False
     # SAM bypass: patch embeddings come from SAM's [B,1024,16,16] output
     # instead of CLIP's own patch conv (reference clip_sdpa.py:147-169).
 

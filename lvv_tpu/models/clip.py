@@ -48,6 +48,9 @@ class CLIPEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    # W8A8 the fused MLP (serving lever, same machinery as the SAM trunk;
+    # LoRA deltas fold into the effective weight BEFORE quantization)
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -60,12 +63,14 @@ class CLIPEncoderLayer(nn.Module):
         fc1 = Dense(self.intermediate_size, dtype=self.dtype, name="fc1")
         fc2 = Dense(x.shape[-1], dtype=self.dtype, name="fc2")
         if fused_mlp.kernel_ok(x.shape[-1], self.intermediate_size):
+            from .sam import _q8_scope
             ls, lb = ln2(x, return_params=True)
             w1, b1 = fc1(x, return_params=True)
             w2, b2 = fc2(jnp.zeros((1, self.intermediate_size), x.dtype),
                          return_params=True)
-            return fused_mlp.ln_mlp_residual(x, ls, lb, w1, b1, w2, b2,
-                                             eps=self.eps, act="quick_gelu")
+            return fused_mlp.ln_mlp_residual(
+                x, ls, lb, w1, b1, w2, b2, eps=self.eps, act="quick_gelu",
+                quant8=self.quant8 and "mlp" in _q8_scope())
         y = ln2(x)
         y = fc1(y)
         y = quick_gelu(y)
@@ -85,6 +90,7 @@ class CLIPVisionTower(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: Optional[jax.Array] = None,
@@ -125,5 +131,6 @@ class CLIPVisionTower(nn.Module):
                                  eps=self.layer_norm_eps, dtype=self.dtype,
                                  lora_rank=self.lora_rank,
                                  lora_alpha=self.lora_alpha,
+                                 quant8=self.quant8,
                                  name=f"layer_{i}")(x)
         return x

@@ -101,7 +101,8 @@ def build_deepencoder(cfg, dtype=jnp.float32,
         num_heads=cfg.clip.num_heads,
         intermediate_size=cfg.clip.intermediate_size,
         layer_norm_eps=cfg.clip.layer_norm_eps, dtype=dtype,
-        lora_rank=clip_lora_rank, lora_alpha=clip_lora_alpha)
+        lora_rank=clip_lora_rank, lora_alpha=clip_lora_alpha,
+        quant8=getattr(cfg.clip, "quant8", False))
     projector = MlpProjector(
         kind=cfg.projector.kind, n_embed=cfg.projector.n_embed,
         depth=cfg.projector.depth, mlp_ratio=cfg.projector.mlp_ratio,

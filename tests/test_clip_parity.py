@@ -60,3 +60,22 @@ def test_pos_resample_identity_and_resize():
     smaller = resample_abs_pos(pos, 2)
     assert smaller.shape == (1 + 2 * 2, 8)
     np.testing.assert_array_equal(np.asarray(smaller[0]), np.asarray(pos[0]))
+
+
+def test_clip_layer_quant8_close_to_float(rng):
+    import jax
+    import numpy as np
+    from lvv_tpu.models.clip import CLIPEncoderLayer
+    from lvv_tpu.ops import fused_mlp
+    x = jnp.asarray(rng.normal(size=(2, 16, 256)), jnp.float32)
+    fused_mlp.set_interpret(True)
+    try:
+        lay = CLIPEncoderLayer(num_heads=4, intermediate_size=512)
+        p = lay.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(lay.apply(p, x))
+        layq = CLIPEncoderLayer(num_heads=4, intermediate_size=512,
+                                quant8=True)
+        out = np.asarray(layq.apply(p, x))
+    finally:
+        fused_mlp.set_interpret(False)
+    assert np.abs(out - ref).max() <= 0.05 * np.abs(ref).max()
