@@ -72,11 +72,20 @@ def main():
     # bandwidth-bound over the LLM params)
     from lvv_tpu.utils import astype_tree
     params = jax.device_put(astype_tree(params, jnp.bfloat16))
+    params_decode = None
+    if os.environ.get("LVV_BENCH_LLM_INT8", "0") == "1":
+        # weight-only int8 LLM for the decode scan only (prefill keeps the
+        # float tree — XLA's fused bf16 chains win there). Measured r2: the
+        # whole-tree swap LOST e2e (5.15 vs 5.73) — decode matvecs sit on a
+        # per-op latency floor, so halved bytes barely pay.
+        from lvv_tpu.models import prepare_serving_params
+        params_decode = jax.device_put(prepare_serving_params(params))
 
     def run():
         toks, lens = greedy_generate(
             model, params, bev, images, view_valid, prompt, plen,
-            max_new_tokens=NEW_TOKENS, eos_id=2)
+            max_new_tokens=NEW_TOKENS, eos_id=2,
+            params_decode=params_decode)
         # fetch values: through the axon relay, block_until_ready returns
         # before execution completes — only a host copy is honest timing
         return np.asarray(toks)
@@ -98,7 +107,7 @@ def main():
     def dispatch():
         return greedy_generate(model, params, bev, images, view_valid,
                                prompt, plen, max_new_tokens=NEW_TOKENS,
-                               eos_id=2)[0]
+                               eos_id=2, params_decode=params_decode)[0]
     t0 = time.perf_counter()
     outs = [dispatch() for _ in range(ITERS)]
     np.asarray(outs[-1])

@@ -24,9 +24,17 @@ from ..models import VQAModel, greedy_generate
 
 class InferenceEngine:
     def __init__(self, model: VQAModel, params, tokenizer,
-                 max_prompt: int = 128, max_new_tokens: int = 96):
+                 max_prompt: int = 128, max_new_tokens: int = 96,
+                 quantize_llm: bool = False):
         self.model = model
         self.params = params
+        self.params_decode = None
+        if quantize_llm:
+            # weight-only int8 LLM for the DECODE SCAN only (serving lever;
+            # prefill keeps the float tree — see models.greedy_generate
+            # params_decode and prepare_serving_params)
+            from ..models import prepare_serving_params
+            self.params_decode = prepare_serving_params(params)
         self.tokenizer = tokenizer
         self.max_prompt = max_prompt
         self.max_new_tokens = max_new_tokens
@@ -50,7 +58,8 @@ class InferenceEngine:
         toks, lens = greedy_generate(
             self.model, self.params, batch.bev, batch.images,
             batch.view_valid, batch.text_ids, batch.text_len,
-            max_new_tokens=self.max_new_tokens, eos_id=self.tokenizer.eos_id)
+            max_new_tokens=self.max_new_tokens, eos_id=self.tokenizer.eos_id,
+            params_decode=self.params_decode)
         out = []
         for i in range(len(samples)):
             ids = np.asarray(toks[i][: int(lens[i])]).tolist()

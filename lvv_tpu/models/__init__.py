@@ -26,4 +26,5 @@ from .vat import NUM_VIEWS, VATBlock, VATLiDAR, VATVision, VisionAdapter
 from .voxelnext import (Detections, VoxelNeXtBackbone, VoxelNeXtDetector,
                         VoxelNeXtHead, decode_detections)
 from .voxelnext_loss import assign_targets, voxelnext_loss
-from .vqa import VQABatch, VQAModel, greedy_generate, sam_grid_side
+from .vqa import (VQABatch, VQAModel, greedy_generate,
+                  prepare_serving_params, sam_grid_side)

@@ -80,16 +80,28 @@ class Dense(nn.Module):
             b = self.param("lora_b", nn.initializers.zeros,
                            (self.lora_rank, self.features))
             lora = (a, b, self.lora_alpha / self.lora_rank)
+        quantized = isinstance(kernel, dict)   # weight-only int8 serving
         if return_params:
             # param-only mode for fused kernels: fold LoRA into an effective
             # kernel (gradients still reach a/b through the fold)
-            w = kernel
+            w = (kernel["q"].astype(jnp.float32) * kernel["s"][None, :]
+                 if quantized else kernel)
             if lora is not None:
                 a, b, scaling = lora
                 w = w + (a @ b) * scaling
             return w.astype(self.dtype), (None if bias is None
                                           else bias.astype(self.dtype))
-        y = x @ kernel.astype(self.dtype)
+        if quantized:
+            # {"q": int8 [K, N], "s": f32 [N]} from ops.quant.
+            # quantize_llm_params: the dequantizing pallas matmul streams
+            # int8 from HBM — decode is weight-bandwidth-bound
+            from ..ops.quant import quantized_matmul
+            lead = x.shape[:-1]
+            y = quantized_matmul(
+                x.reshape(-1, x.shape[-1]).astype(self.dtype),
+                kernel["q"], kernel["s"]).reshape(*lead, self.features)
+        else:
+            y = x @ kernel.astype(self.dtype)
         if bias is not None:
             y = y + bias.astype(self.dtype)
         if lora is not None:

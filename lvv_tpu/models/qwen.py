@@ -194,6 +194,15 @@ class QwenModel(nn.Module):
 
     def unembed(self, hidden):
         if self.cfg.tie_word_embeddings:
+            if self.has_variable("params", "unembed_q"):
+                # weight-only int8 serving copy of the tied table (added by
+                # ops.quant.quantize_llm_params): streams [V, H] int8 with
+                # per-row scales, no transpose in HBM — the decode unembed
+                # alone reads 272 MB/step in bf16
+                from ..ops.quant import quantized_matmul_nk
+                uq = self.get_variable("params", "unembed_q")
+                return quantized_matmul_nk(hidden.astype(self.dtype),
+                                           uq["q"], uq["s"])
             table = self.embed_tokens.embedding
             return hidden @ table.T.astype(self.dtype)
         return self.lm_head(hidden)

@@ -87,12 +87,16 @@ def window_unpartition(x: jax.Array, window: int, padded_hw, hw):
 
 def _q8_scope() -> frozenset:
     """Which sub-paths quant8 applies to — a trace-time tuning knob
-    (LVV_Q8_SCOPE env: comma-set of dense,mlp,attn; default all). The e2e
-    win of each sub-lever differs from its microbenchmark (fusion
-    interactions), so the serving preset pins the measured-best set."""
+    (LVV_Q8_SCOPE env: comma-set of dense,mlp,attn).
+
+    Default = "mlp", the measured-best set (e2e A/B on v5e, r2):
+      float 5.59 fps | mlp 5.73 | dense-only 5.20 | attn-only 5.37.
+    The fused-MLP int8 kernel wins because the quantize work rides inside
+    an already-fused VMEM pass; the standalone W8A8 projections and int8
+    p@v lose — their extra VPU/HBM work outweighs the MXU doubling at
+    these shapes. The losing paths stay available for other shapes."""
     import os
-    return frozenset(os.environ.get("LVV_Q8_SCOPE",
-                                    "dense,mlp,attn").split(","))
+    return frozenset(os.environ.get("LVV_Q8_SCOPE", "mlp").split(","))
 
 
 def _relpos_kernel_ok(h: int, w: int, head_dim: int) -> bool:

@@ -187,18 +187,23 @@ def _generate_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
     cached so repeated generate calls reuse the compilation. flax modules
     are frozen dataclasses, hence valid cache keys."""
 
-    def impl(params, batch_bev, images, view_valid, prompt_ids, prompt_len):
+    def impl(params, params_decode, batch_bev, images, view_valid,
+             prompt_ids, prompt_len):
         b = prompt_ids.shape[0]
         cache = init_cache(model.cfg.llm, b, max_cache, dtype=model.dtype)
         last_logits, cache = model.apply(
             {"params": params}, batch_bev, images, view_valid, prompt_ids,
             prompt_len, cache, method=VQAModel.prefill)
+        # decode may run on a different (e.g. weight-only int8) tree: the
+        # scan body streams every LLM weight per step, prefill reads each
+        # once — the optimal formats differ
+        p_dec = params if params_decode is None else params_decode
 
         def body(state, _):
             last_logits, cache, done = state
             nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(done, eos_id, nxt)
-            logits, cache = model.apply({"params": params}, nxt, cache,
+            logits, cache = model.apply({"params": p_dec}, nxt, cache,
                                         method=VQAModel.decode_step)
             done = done | (nxt == eos_id)
             return (logits, cache, done), nxt
@@ -215,18 +220,36 @@ def _generate_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
     return jax.jit(impl)
 
 
+def prepare_serving_params(params, *, quantize_llm: bool = True):
+    """One-time serving transform of a trained/converted param tree.
+
+    With quantize_llm, the Qwen projections and the tied unembed table are
+    replaced by weight-only int8 (ops.quant.quantize_llm_params) — decode
+    is HBM-bandwidth-bound over the LLM weights (~1.1 GB bf16 per step),
+    so halving the bytes is the decode speed lever. Prefill and training
+    keep using float trees; this is an inference-side copy."""
+    params = dict(params)
+    if quantize_llm and "llm" in params:
+        from ..ops.quant import quantize_llm_params
+        params["llm"] = quantize_llm_params(params["llm"])
+    return params
+
+
 def greedy_generate(model: VQAModel, params, batch_bev, images, view_valid,
                     prompt_ids, prompt_len, *, max_new_tokens: int,
-                    eos_id: int, max_cache: Optional[int] = None):
+                    eos_id: int, max_cache: Optional[int] = None,
+                    params_decode=None):
     """Greedy decode, fully jitted end-to-end (reference
     InferenceEngine.generate :229-304; greedy path matches
     validation.py:552-580 when sampling is off).
-    Returns (tokens [B, max_new_tokens], lengths [B])."""
+    `params_decode` (e.g. from prepare_serving_params) swaps the tree used
+    inside the decode scan only. Returns (tokens, lengths)."""
     p_static = _prefix_len(model.cfg)
     max_cache = max_cache or (p_static + prompt_ids.shape[1]
                               + max_new_tokens + 8)
     fn = _generate_fn(model, max_new_tokens, eos_id, max_cache)
-    return fn(params, batch_bev, images, view_valid, prompt_ids, prompt_len)
+    return fn(params, params_decode, batch_bev, images, view_valid,
+              prompt_ids, prompt_len)
 
 
 def sam_grid_side(cfg: ModelConfig) -> int:

@@ -57,6 +57,109 @@ def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _qmv_nk_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    """Dequantizing matvec with the weight stored [N, K] (no transpose in
+    HBM — the tied-embedding unembed contracts the [V, H] table over H)."""
+    x = x_ref[...]                                   # [M, bk]... K resident
+    w = w_ref[...].astype(jnp.bfloat16)              # [bn, K]
+    s = s_ref[...].astype(jnp.float32)               # [1, bn]
+    acc = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[...] = (acc * s).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _qmv_nk_tpu(x, wq, sw, *, block_n: int, interpret: bool):
+    m, k = x.shape
+    n = wq.shape[0]
+    return pl.pallas_call(
+        functools.partial(_qmv_nk_kernel, out_dtype=x.dtype),
+        grid=(n // block_n,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda j: (0, 0)),
+            pl.BlockSpec((block_n, k), lambda j: (j, 0)),
+            pl.BlockSpec((1, block_n), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(x, wq, sw[None])
+
+
+def quantized_matmul_nk(x: jax.Array, wq: jax.Array, scale: jax.Array,
+                        block_n: int = 2048,
+                        interpret: bool = False) -> jax.Array:
+    """x [..., K] @ dequant(wq [N, K], scale [N]).T -> [..., N].
+
+    The weight never transposes in HBM; per-row (= per output) scales.
+    Serves the tied-embedding unembed: [V, H] int8 streamed at half the
+    bf16 bytes every decode step."""
+    from . import fused_mlp as _fm
+    lead, k = x.shape[:-1], x.shape[-1]
+    n = wq.shape[0]
+    m = 1
+    for d_ in lead:
+        m *= d_
+    x2 = x.reshape(m, k)
+    use_pallas = ((interpret or _fm._FORCE_INTERPRET
+                   or jax.default_backend() == "tpu")
+                  and k % 128 == 0)
+    if not use_pallas:
+        out = jnp.einsum("mk,nk->mn", x2.astype(jnp.float32),
+                         wq.astype(jnp.float32)) * scale[None, :]
+        return out.astype(x.dtype).reshape(*lead, n)
+    m_p = max(8, -(-m // 8) * 8)
+    bn = min(block_n, n)
+    n_p = -(-n // bn) * bn
+    xp = jnp.pad(x2.astype(jnp.bfloat16), ((0, m_p - m), (0, 0)))
+    wp = jnp.pad(wq, ((0, n_p - n), (0, 0)))
+    sp = jnp.pad(scale.astype(jnp.float32), (0, n_p - n))
+    out = _qmv_nk_tpu(xp, wp, sp, block_n=bn,
+                      interpret=interpret or _fm._FORCE_INTERPRET)
+    return out[:m, :n].astype(x.dtype).reshape(*lead, n)
+
+
+def quantize_llm_params(llm_params: dict) -> dict:
+    """Weight-only int8 serving transform for the Qwen tree.
+
+    Replaces every attention/MLP projection kernel with {"q": int8 [K, N],
+    "s": f32 [N]} (consumed by models.layers.Dense's dict-kernel branch)
+    and adds an "unembed_q" copy of the tied embedding table ({"q": int8
+    [V, H], "s": f32 [V]}) for the decode unembed. Decode streams half the
+    weight bytes — it is HBM-bandwidth-bound (ROUND_NOTES: 1.25 ms/step ~=
+    the bf16 streaming roofline). Biases, norms, LoRA, and the float
+    embedding (still needed for the prefill gather) are untouched.
+    """
+    def maybe_quant(name, sub):
+        if (name.endswith("_proj") and hasattr(sub, "keys")
+                and "kernel" in sub and not isinstance(sub["kernel"], dict)):
+            q, s = quantize_weight(sub["kernel"])
+            return {**dict(sub), "kernel": {"q": q, "s": s}}
+        return sub
+
+    out = {}
+    for lname, layer in dict(llm_params).items():
+        if lname.startswith("layer_"):
+            layer = dict(layer)
+            for block in ("attn", "mlp"):
+                if block in layer:
+                    layer[block] = {name: maybe_quant(name, sub)
+                                    for name, sub in
+                                    dict(layer[block]).items()}
+        out[lname] = layer
+    if "embed_tokens" in out and "embedding" in dict(out["embed_tokens"]):
+        emb = jnp.asarray(dict(out["embed_tokens"])["embedding"])  # [V, H]
+        sc = jnp.maximum(jnp.max(jnp.abs(emb.astype(jnp.float32)),
+                                 axis=1) / 127.0, 1e-8)            # [V]
+        q = jnp.clip(jnp.round(emb.astype(jnp.float32) / sc[:, None]),
+                     -127, 127).astype(jnp.int8)
+        out["unembed_q"] = {"q": q, "s": sc}
+    return out
+
+
 def _w8a8_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref, *, out_dtype):
     """One (m-tile, n-tile) program: quantize x rows in VMEM, int8 MXU dot,
     dequant + bias in VMEM — the int32/f32 intermediates never touch HBM
@@ -157,12 +260,12 @@ def int8_dot(x: jax.Array, w: jax.Array,
 
 
 def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
-    x = x_ref[...]                                  # [M, bk]
+    x = x_ref[...]                                  # [bm, bk]
     w = w_ref[...].astype(jnp.bfloat16)             # [bk, bn] (dequant in
     s = s_ref[0].astype(jnp.float32)                # registers); s [1, bn]
     acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    ki = pl.program_id(1)
+    ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _init():
@@ -171,16 +274,19 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     o_ref[...] += (acc * s[None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "block_k", "interpret"))
 def quantized_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
                      bias: Optional[jax.Array] = None,
-                     block_n: int = 512, block_k: int = 1024,
+                     block_m: int = 512, block_n: int = 512,
+                     block_k: int = 1024,
                      interpret: bool = False) -> jax.Array:
     """x [M, K] (bf16/f32) @ int8 w_q [K, N] * scale [N] -> [M, N].
 
     Pallas on TPU (int8 tiles stream from HBM, dequant in-register);
-    reference einsum elsewhere.
+    reference einsum elsewhere. M is tiled too — decode calls come in with
+    M<=8, prefill with thousands of token rows (an unblocked M stacked a
+    50 MB VMEM tile at the Qwen down_proj: found the hard way).
     """
     m, k = x.shape
     k2, n = w_q.shape
@@ -193,7 +299,8 @@ def quantized_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
         return out + bias if bias is not None else out
 
     # pad M to the 8-row sublane, K/N to block multiples
-    m_p = max(8, -(-m // 8) * 8)
+    bm = min(block_m, max(8, -(-m // 8) * 8))
+    m_p = -(-m // bm) * bm
     bk = min(block_k, k)
     bn = min(block_n, n)
     k_p = -(-k // bk) * bk
@@ -205,16 +312,16 @@ def quantized_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_qmv_kernel, out_dtype=x.dtype),
-        grid=(n_p // bn, k_p // bk),
+        grid=(m_p // bm, n_p // bn, k_p // bk),
         in_specs=[
-            pl.BlockSpec((m_p, bk), lambda j, i: (0, i)),
-            pl.BlockSpec((bk, bn), lambda j, i: (i, j)),
-            pl.BlockSpec((1, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((bm, bk), lambda mi, j, i: (mi, i)),
+            pl.BlockSpec((bk, bn), lambda mi, j, i: (i, j)),
+            pl.BlockSpec((1, bn), lambda mi, j, i: (0, j)),
         ],
-        out_specs=pl.BlockSpec((m_p, bn), lambda j, i: (0, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, j, i: (mi, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n_p), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(xp, wp, sp)
     out = out[:m, :n].astype(x.dtype)

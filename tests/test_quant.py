@@ -118,3 +118,62 @@ def test_w8a8_matmul_matches_int8_dot(rng):
     np.testing.assert_allclose(out, ref, atol=2e-3 * np.abs(ref).max())
     fp = np.asarray(jnp.einsum("bmk,kn->bmn", x, w) + b)
     assert np.abs(out - fp).max() <= 0.04 * np.abs(fp).max()
+
+
+def test_dense_dict_kernel_matches_float(rng):
+    from lvv_tpu.models.layers import Dense
+    from lvv_tpu.ops.quant import quantize_weight
+    x = jnp.asarray(rng.normal(size=(3, 5, 64)), jnp.float32)
+    d = Dense(128)
+    p = d.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(d.apply(p, x))
+    w = p["params"]["kernel"]
+    q, s = quantize_weight(w)
+    pq = {"params": {**p["params"], "kernel": {"q": q, "s": s}}}
+    out = np.asarray(d.apply(pq, x))
+    assert np.abs(out - ref).max() <= 0.02 * np.abs(ref).max()
+
+
+def test_quantized_matmul_nk_matches_einsum(rng):
+    from lvv_tpu.ops.quant import quantized_matmul_nk
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(300, 128)) * 0.05, jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / 127.0, 1e-8)
+    wq = jnp.clip(jnp.round(w / sc[:, None]), -127, 127).astype(jnp.int8)
+    ref = np.asarray(jnp.einsum("mk,nk->mn", x, wq.astype(jnp.float32))
+                     * sc[None, :])
+    out = np.asarray(quantized_matmul_nk(x, wq, sc, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=3e-3 * np.abs(ref).max())
+
+
+def test_quantize_llm_params_decode_parity(rng):
+    """Weight-only int8 Qwen tree: greedy decode logits stay within int8
+    noise of the float tree (the serving-mode guarantee)."""
+    from lvv_tpu.config.schema import LLMConfig
+    from lvv_tpu.models.qwen import QwenModel, init_cache
+    from lvv_tpu.ops.quant import quantize_llm_params
+    cfg = LLMConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                    num_heads=4, num_kv_heads=2, head_dim=16,
+                    intermediate_size=128, tie_word_embeddings=True,
+                    special_tokens=())
+    model = QwenModel(cfg)
+    emb = jnp.asarray(rng.normal(size=(1, 5, 64)) * 0.5, jnp.float32)
+    p = model.init(jax.random.PRNGKey(0), emb)["params"]
+    pq = quantize_llm_params(p)
+    assert "unembed_q" in pq
+    assert isinstance(pq["layer_0"]["attn"]["q_proj"]["kernel"], dict)
+    # norms / biases untouched
+    assert not isinstance(pq["layer_0"]["input_ln"]["scale"], dict)
+
+    cache = init_cache(cfg, 1, 16)
+    ref, _ = model.apply({"params": p}, emb,
+                         seq_len=jnp.asarray([5]), cache=cache)
+    out, _ = model.apply({"params": pq}, emb,
+                         seq_len=jnp.asarray([5]), cache=cache)
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.05
+    # greedy argmax agreement on most positions
+    agree = (ref.argmax(-1) == out.argmax(-1)).mean()
+    assert agree >= 0.6
