@@ -34,7 +34,14 @@ def main():
     from lvv_tpu.models import VQABatch, VQAModel, greedy_generate
     from lvv_tpu.utils import astype_tree
 
+    import os
     cfg = default_config()
+    if os.environ.get("LVV_BENCH_QUANT8", "1") == "1":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model,
+            sam=dataclasses.replace(cfg.model.sam, quant8=True),
+            clip=dataclasses.replace(cfg.model.clip, quant8=True)))
     model = VQAModel(cfg.model, dtype=jnp.bfloat16)
     c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
     s = cfg.model.sam.img_size
@@ -60,11 +67,18 @@ def main():
                 use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
             params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
             params = jax.device_put(astype_tree(params, jnp.bfloat16))
+            if os.environ.get("LVV_BENCH_LLM_INT8", "0") == "1":
+                # at larger batches the decode matvecs widen — the regime
+                # where weight-only int8 may start to pay (it loses at B=1)
+                from lvv_tpu.models import prepare_serving_params
+                globals()["_pq"] = jax.device_put(
+                    prepare_serving_params(params))
 
         def run():
             toks, _ = greedy_generate(model, params, bev, images,
                                       view_valid, prompt, plen,
-                                      max_new_tokens=NEW_TOKENS, eos_id=-1)
+                                      max_new_tokens=NEW_TOKENS, eos_id=-1,
+                                      params_decode=globals().get("_pq"))
             return np.asarray(toks)  # device->host fetch = real completion
 
         for _ in range(2):
