@@ -14,6 +14,7 @@ Writes benchmarks/serving_bench.json: {batch: {s_per_batch, frames_s}}.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -23,7 +24,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 import numpy as np
 
 NEW_TOKENS = 32
-BATCHES = (1, 2, 4, 8)
+# B=16/32 probe HBM headroom: 6B views of 1024^2 through SAM dominate
+# activation memory; override with LVV_BENCH_BATCHES=16,32
+BATCHES = tuple(
+    int(x) for x in os.environ.get("LVV_BENCH_BATCHES", "1,2,4,8").split(","))
 
 
 def main():
@@ -48,8 +52,10 @@ def main():
     t = 24
     rng = np.random.default_rng(0)
 
-    results = {}
     outp = pathlib.Path(__file__).parent / "serving_bench.json"
+    # merge into prior measurements so a partial batch sweep (e.g.
+    # LVV_BENCH_BATCHES=16,32) extends rather than clobbers the table
+    results = json.loads(outp.read_text()) if outp.exists() else {}
 
     params = None
     for b in BATCHES:

@@ -14,7 +14,7 @@ PRESETS = sorted(glob.glob(os.path.join(REPO, "configs", "*.json")))
 
 
 def test_preset_library_is_nonempty():
-    assert len(PRESETS) >= 30
+    assert len(PRESETS) >= 60
 
 
 @pytest.mark.parametrize("path", PRESETS, ids=[os.path.basename(p)
@@ -36,5 +36,5 @@ def test_dataset_bases_cover_all_suites():
     bases = {os.path.basename(p) for p in
              glob.glob(os.path.join(REPO, "configs", "_base_", "*.json"))}
     for suite in ("kitti", "nuscenes", "waymo", "once", "lyft",
-                  "pandaset", "argo2"):
+                  "pandaset", "argo2", "custom"):
         assert f"{suite}.json" in bases
