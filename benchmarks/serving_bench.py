@@ -47,6 +47,12 @@ def main():
             sam=dataclasses.replace(cfg.model.sam, quant8=True),
             clip=dataclasses.replace(cfg.model.clip, quant8=True)))
     model = VQAModel(cfg.model, dtype=jnp.bfloat16)
+    # B>=16: batched 6-view encode exceeds v5e HBM (16.9G > 15.75G at B=16
+    # measured); the sequential-view mode bounds live memory to one view's
+    # buffers. Identical param tree, so the same params serve both models.
+    import dataclasses as _dc
+    model_seq = VQAModel(_dc.replace(cfg.model, sequential_views=True),
+                         dtype=jnp.bfloat16)
     c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
     s = cfg.model.sam.img_size
     t = 24
@@ -66,10 +72,12 @@ def main():
         prompt = jnp.asarray(rng.integers(0, 1000, (b, t)), jnp.int32)
         plen = jnp.full((b,), t, jnp.int32)
         if params is None:
+            # init at B=1 regardless of the sweep (a large-B init forward
+            # would itself OOM on the batched path); params are B-agnostic
             init_batch = VQABatch(
-                bev=bev, images=images, view_valid=view_valid,
-                text_ids=prompt, text_len=plen,
-                labels=jnp.full_like(prompt, -100),
+                bev=bev[:1], images=images[:1], view_valid=view_valid[:1],
+                text_ids=prompt[:1], text_len=plen[:1],
+                labels=jnp.full_like(prompt[:1], -100),
                 use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
             params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
             params = jax.device_put(astype_tree(params, jnp.bfloat16))
@@ -80,8 +88,10 @@ def main():
                 globals()["_pq"] = jax.device_put(
                     prepare_serving_params(params))
 
+        m = model_seq if b >= 16 else model
+
         def run():
-            toks, _ = greedy_generate(model, params, bev, images,
+            toks, _ = greedy_generate(m, params, bev, images,
                                       view_valid, prompt, plen,
                                       max_new_tokens=NEW_TOKENS, eos_id=-1,
                                       params_decode=globals().get("_pq"))

@@ -194,6 +194,10 @@ class ModelConfig:
     clip_lora: LoRAConfig = field(default_factory=lambda: LoRAConfig(
         r=8, alpha=16, target_modules=("q_proj", "v_proj")))
     voxelnext: VoxelNeXtConfig = field(default_factory=VoxelNeXtConfig)
+    # None = auto (batched 6-view encode); True bounds live memory to one
+    # view's attention buffers — required for large-batch serving (B>=16
+    # exceeds v5e HBM on the batched path, benchmarks/serving_bench.py)
+    sequential_views: Optional[bool] = None
     prefix_scale: float = 0.2     # reference train.py:187, trainer.py:581,594
     bev_channels: int = 128       # probed at runtime in reference trainer.py:197-199
     bev_hw: Tuple[int, int] = (180, 180)

@@ -66,7 +66,8 @@ class VQAModel(nn.Module):
         c = self.cfg
         self.deepencoder = build_deepencoder(
             c, dtype=self.dtype, clip_lora_rank=self.clip_lora_rank,
-            clip_lora_alpha=self.clip_lora_alpha)
+            clip_lora_alpha=self.clip_lora_alpha,
+            sequential_views=getattr(c, "sequential_views", None))
         self.adapter = VisionAdapter(d_model=c.adapter.d_model,
                                      num_views=c.adapter.num_views,
                                      dropout=c.adapter.dropout,

@@ -167,3 +167,19 @@ def test_sample_generate(setup):
         prompt, plen, max_new_tokens=5, eos_id=3, temperature=1.0,
         top_k=20, top_p=0.95)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+
+
+def test_sequential_views_matches_batched(setup):
+    """cfg.model.sequential_views=True (the large-batch serving memory mode,
+    benchmarks/serving_bench.py B>=16) shares the param tree with the
+    batched encode and produces identical logits."""
+    import dataclasses
+    cfg, model, params, batch = setup
+    model_seq = VQAModel(dataclasses.replace(cfg.model,
+                                             sequential_views=True),
+                         llm_lora_rank=2, llm_lora_alpha=4,
+                         clip_lora_rank=2, clip_lora_alpha=4)
+    out = model.apply({"params": params}, batch)
+    out_seq = model_seq.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(out_seq[0]), np.asarray(out[0]),
+                               atol=2e-4)
