@@ -208,7 +208,8 @@ class QwenModel(nn.Module):
         return self.lm_head(hidden)
 
     def __call__(self, inputs_embeds, positions=None, seq_len=None,
-                 cache: Optional[KVCache] = None):
+                 cache: Optional[KVCache] = None,
+                 last_pos: Optional[jax.Array] = None):
         b, s, _ = inputs_embeds.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
@@ -220,6 +221,13 @@ class QwenModel(nn.Module):
                 new_k.append(kv[0])
                 new_v.append(kv[1])
         x = self.final_ln(x)
+        if last_pos is not None:
+            # generation prefill: only the last real position feeds the
+            # first decode step — gather the hidden row BEFORE the unembed
+            # so the [B, S, V] logits tensor (7.1 GB at B=16, S=1564) never
+            # materializes; unembed runs on [B, 1, H]
+            x = jnp.take_along_axis(
+                x, last_pos[:, None, None].astype(jnp.int32), axis=1)
         logits = self.unembed(x)
         if cache is not None:
             if s > 1:  # prefill: cache filled up to the true lengths

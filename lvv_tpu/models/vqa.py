@@ -167,11 +167,12 @@ class VQAModel(nn.Module):
         embeds = jnp.concatenate([prefix, text_emb], axis=1)
         p = prefix.shape[1]
         seq_len = p + prompt_len
-        logits, cache = self.llm(embeds, seq_len=seq_len, cache=cache)
-        # logits at the last REAL position per sample
-        last = jnp.take_along_axis(
-            logits, (seq_len - 1)[:, None, None].astype(jnp.int32), axis=1)
-        return last[:, 0], cache
+        # last_pos gathers the hidden state at the last REAL position per
+        # sample inside the LLM, before the unembed — the full-sequence
+        # logits tensor would dominate HBM at serving batch sizes
+        logits, cache = self.llm(embeds, seq_len=seq_len, cache=cache,
+                                 last_pos=seq_len - 1)
+        return logits[:, 0], cache
 
     def decode_step(self, token_ids, cache: KVCache):
         """One greedy step: [B] ids -> (logits [B, V], cache)."""
