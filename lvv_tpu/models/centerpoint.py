@@ -18,6 +18,7 @@ from ..config.schema import VoxelizeConfig, VoxelNeXtConfig
 from ..ops.sparse import SparseTensor, from_voxels, to_dense
 from ..ops.voxelize import VoxelGrid, voxelize_mean
 from .pointpillars import BaseBEVBackbone, DenseCenterHead, decode_dense
+from ..ops.sparse import build_subm_rulebook
 from .voxelnext import Detections, SparseBasicBlock, SparseConvLayer
 
 
@@ -38,15 +39,17 @@ class CenterPointBackbone3D(nn.Module):
     def __call__(self, st: SparseTensor) -> SparseTensor:
         chs = self.cfg.channels[:4]
         cap = self.capacity
-        st = SparseConvLayer(chs[0], name="conv_input")(st)
-        st = SparseBasicBlock(chs[0], name="res1")(st)
+        rb = build_subm_rulebook(st)
+        st = SparseConvLayer(chs[0], name="conv_input")(st, rb)
+        st = SparseBasicBlock(chs[0], name="res1")(st, rb)
         sched = getattr(self.cfg, "capacity_schedule", None)
         for i, ch in enumerate(chs[1:], start=1):
             cap = sched[i - 1] if sched and i - 1 < len(sched) else \
                 max(cap * 3 // 4, 1024)
             st = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
                                  name=f"down{i}")(st)
-            st = SparseBasicBlock(ch, name=f"res{i + 1}")(st)
+            st = SparseBasicBlock(ch, name=f"res{i + 1}")(
+                st, build_subm_rulebook(st))
         return st
 
 

@@ -48,6 +48,11 @@ class FocalSparseConv(nn.Module):
         # candidate neighbor sites: coord + offset, scored by
         # imp_center * imp_offset, only where currently EMPTY
         coords = delinearize(st.ids, st.grid)
+        from ..ops.sparse import (_DENSE_LOOKUP_MAX_CELLS, _occupancy_table,
+                                  _table_lookup)
+        nx, ny, nz = st.grid
+        table = (_occupancy_table(st)
+                 if nx * ny * nz <= _DENSE_LOOKUP_MAX_CELLS else None)
         cand_ids, cand_scores = [], []
         for oi, off in enumerate(offs):
             if oi == center_idx:
@@ -55,7 +60,10 @@ class FocalSparseConv(nn.Module):
             nid = linearize(coords + jnp.asarray(off, jnp.int32)[None],
                             st.grid)
             nid = jnp.where(st.valid, nid, SENTINEL)
-            _, hit = _lookup(st.ids, nid)
+            if table is not None:
+                _, hit = _table_lookup(table, nid)
+            else:
+                _, hit = _lookup(st.ids, nid)
             score = imp_center * imp[:, oi]
             cand_ids.append(jnp.where(hit, SENTINEL, nid))
             cand_scores.append(jnp.where(hit | ~st.valid, -1.0, score))

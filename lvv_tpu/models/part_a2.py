@@ -38,6 +38,7 @@ from .centerpoint import height_compression
 from .layers import Dense
 from .pointpillars import BaseBEVBackbone
 from .second import default_anchor_table
+from ..ops.sparse import build_subm_rulebook
 from .voxelnext import Detections, SparseBasicBlock, SparseConvLayer
 
 
@@ -86,16 +87,18 @@ class SparseUNet(nn.Module):
     def __call__(self, st: SparseTensor) -> Dict[str, SparseTensor]:
         chs = self.channels
         cap = self.capacity or st.ids.shape[0]
-        x = SparseConvLayer(chs[0], name="conv_input")(st)
-        x1 = SparseConvLayer(chs[0], name="conv1")(x)
+        rb = build_subm_rulebook(st)
+        x = SparseConvLayer(chs[0], name="conv_input")(st, rb)
+        x1 = SparseConvLayer(chs[0], name="conv1")(x, rb)
         laterals = [x1]
         x = x1
         for i, ch in enumerate(chs[1:], start=1):
             cap = max(cap * 3 // 4, 1024)
             x = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
                                 name=f"down{i}")(x)
-            x = SparseConvLayer(ch, name=f"subm{i}a")(x)
-            x = SparseConvLayer(ch, name=f"subm{i}b")(x)
+            rb = build_subm_rulebook(x)
+            x = SparseConvLayer(ch, name=f"subm{i}a")(x, rb)
+            x = SparseConvLayer(ch, name=f"subm{i}b")(x, rb)
             laterals.append(x)
         x1, x2, x3, x4 = laterals
 

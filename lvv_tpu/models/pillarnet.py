@@ -20,6 +20,7 @@ from ..config.schema import VoxelizeConfig, VoxelNeXtConfig
 from ..ops.sparse import SparseTensor, from_voxels, to_dense
 from ..ops.voxelize import VoxelGrid, voxelize_mean
 from .pointpillars import BaseBEVBackbone, DenseCenterHead, decode_dense
+from ..ops.sparse import build_subm_rulebook
 from .voxelnext import Detections, SparseBasicBlock, SparseConvLayer
 
 
@@ -33,15 +34,19 @@ class PillarResBackbone(nn.Module):
     def __call__(self, st: SparseTensor) -> SparseTensor:
         cap = self.capacity or st.ids.shape[0]
         chs = self.channels
-        st = SparseConvLayer(chs[0], ndim2d=True, name="conv_input")(st)
-        st = SparseBasicBlock(chs[0], ndim2d=True, name="res1a")(st)
-        st = SparseBasicBlock(chs[0], ndim2d=True, name="res1b")(st)
+        rb = build_subm_rulebook(st, ndim2d=True)
+        st = SparseConvLayer(chs[0], ndim2d=True, name="conv_input")(st, rb)
+        st = SparseBasicBlock(chs[0], ndim2d=True, name="res1a")(st, rb)
+        st = SparseBasicBlock(chs[0], ndim2d=True, name="res1b")(st, rb)
         for i, ch in enumerate(chs[1:], start=1):
             cap = max(cap * 3 // 4, 1024)
             st = SparseConvLayer(ch, subm=False, stride=2, ndim2d=True,
                                  out_capacity=cap, name=f"down{i}")(st)
-            st = SparseBasicBlock(ch, ndim2d=True, name=f"res{i + 1}a")(st)
-            st = SparseBasicBlock(ch, ndim2d=True, name=f"res{i + 1}b")(st)
+            rb = build_subm_rulebook(st, ndim2d=True)
+            st = SparseBasicBlock(ch, ndim2d=True,
+                                  name=f"res{i + 1}a")(st, rb)
+            st = SparseBasicBlock(ch, ndim2d=True,
+                                  name=f"res{i + 1}b")(st, rb)
         return st
 
 

@@ -27,6 +27,7 @@ from .layers import Dense
 from .pointpillars import BaseBEVBackbone
 from .roi_head import canonical_decode
 from .second import default_anchor_table
+from ..ops.sparse import build_subm_rulebook
 from .voxelnext import Detections, SparseBasicBlock, SparseConvLayer
 
 
@@ -40,14 +41,16 @@ class MultiScaleBackbone3D(nn.Module):
     def __call__(self, st: SparseTensor) -> List[SparseTensor]:
         chs = self.cfg.channels[:4]
         cap = self.capacity
-        st = SparseConvLayer(chs[0], name="conv_input")(st)
-        st = SparseBasicBlock(chs[0], name="res1")(st)
+        rb = build_subm_rulebook(st)
+        st = SparseConvLayer(chs[0], name="conv_input")(st, rb)
+        st = SparseBasicBlock(chs[0], name="res1")(st, rb)
         stages = [st]
         for i, ch in enumerate(chs[1:], start=1):
             cap = max(cap * 3 // 4, 1024)
             st = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
                                  name=f"down{i}")(st)
-            st = SparseBasicBlock(ch, name=f"res{i + 1}")(st)
+            st = SparseBasicBlock(ch, name=f"res{i + 1}")(
+                st, build_subm_rulebook(st))
             stages.append(st)
         return stages
 

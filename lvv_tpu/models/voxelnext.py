@@ -32,9 +32,10 @@ from flax import linen as nn
 from ..config.schema import VoxelNeXtConfig, VoxelizeConfig
 from ..ops.boxes import limit_period
 from ..ops.nms import nms
-from ..ops.sparse import (SENTINEL, SparseTensor, bev_collapse, delinearize,
-                          from_voxels, merge_add, reindex_upscale,
-                          sparse_conv, submanifold_conv, to_dense)
+from ..ops.sparse import (SENTINEL, SparseTensor, bev_collapse,
+                          build_subm_rulebook, delinearize, from_voxels,
+                          merge_add, reindex_upscale, sparse_conv,
+                          submanifold_conv, to_dense)
 from ..ops.voxelize import VoxelGrid, voxelize_mean
 
 
@@ -74,7 +75,7 @@ class SparseConvLayer(nn.Module):
     bn_momentum: float = 0.01    # torch convention: ra = (1-m)*ra + m*batch
 
     @nn.compact
-    def __call__(self, st: SparseTensor) -> SparseTensor:
+    def __call__(self, st: SparseTensor, rulebook=None) -> SparseTensor:
         k = self.kernel ** (2 if self.ndim2d else 3)
         cin = st.features.shape[-1]
         w = self.param("kernel", nn.initializers.he_normal(
@@ -82,7 +83,7 @@ class SparseConvLayer(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
         if self.subm:
             out = submanifold_conv(st, w, b, kernel=self.kernel,
-                                   ndim2d=self.ndim2d)
+                                   ndim2d=self.ndim2d, rulebook=rulebook)
         else:
             out = sparse_conv(st, w, b, kernel=self.kernel,
                               stride=self.stride, padding=1,
@@ -128,11 +129,11 @@ class SparseBasicBlock(nn.Module):
     norm: str = "ln"
 
     @nn.compact
-    def __call__(self, st: SparseTensor) -> SparseTensor:
+    def __call__(self, st: SparseTensor, rulebook=None) -> SparseTensor:
         y = SparseConvLayer(self.ch, ndim2d=self.ndim2d, norm=self.norm,
-                            name="conv1")(st)
+                            name="conv1")(st, rulebook)
         y = SparseConvLayer(self.ch, ndim2d=self.ndim2d, norm=self.norm,
-                            name="conv2")(y)
+                            name="conv2")(y, rulebook)
         f = st.features + y.features
         return SparseTensor(st.ids, f, st.grid)
 
@@ -148,8 +149,11 @@ class VoxelNeXtBackbone(nn.Module):
         chs = self.cfg.channels
         cap = self.capacity
         norm = getattr(self.cfg, "norm", "ln")
-        st = SparseConvLayer(chs[0], norm=norm, name="conv_input")(st)
-        st = SparseBasicBlock(chs[0], norm=norm, name="res1")(st)
+        # one rulebook per active set, shared by every subm conv on it
+        # (spconv indice_key semantics; the build is the expensive half)
+        rb = build_subm_rulebook(st)
+        st = SparseConvLayer(chs[0], norm=norm, name="conv_input")(st, rb)
+        st = SparseBasicBlock(chs[0], norm=norm, name="res1")(st, rb)
 
         sched = getattr(self.cfg, "capacity_schedule", None)
         stages = []
@@ -158,7 +162,8 @@ class VoxelNeXtBackbone(nn.Module):
                 max(cap * 3 // 4, 1024)
             st = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
                                  norm=norm, name=f"down{i}")(st)
-            st = SparseBasicBlock(ch, norm=norm, name=f"res{i + 1}")(st)
+            rb = build_subm_rulebook(st)
+            st = SparseBasicBlock(ch, norm=norm, name=f"res{i + 1}")(st, rb)
             stages.append(st)
 
         # fold stage-5 (stride 16) and stage-6 (stride 32) onto the stride-8
@@ -171,10 +176,11 @@ class VoxelNeXtBackbone(nn.Module):
                            up6, capacity=s4.ids.shape[0])
 
         bev = bev_collapse(merged, bev_capacity=merged.ids.shape[0])
+        rb2d = build_subm_rulebook(bev, ndim2d=True)
         bev = SparseConvLayer(self.cfg.out_channels, ndim2d=True,
-                              norm=norm, name="conv_out")(bev)
+                              norm=norm, name="conv_out")(bev, rb2d)
         bev = SparseConvLayer(self.cfg.out_channels, ndim2d=True,
-                              norm=norm, name="shared_conv")(bev)
+                              norm=norm, name="shared_conv")(bev, rb2d)
         return bev
 
 
@@ -184,10 +190,13 @@ class VoxelNeXtHead(nn.Module):
 
     @nn.compact
     def __call__(self, bev: SparseTensor) -> Dict[str, SparseTensor]:
+        # all 7 branches x 2 convs share the BEV active set -> one rulebook
+        rb2d = build_subm_rulebook(bev, ndim2d=True)
+
         def branch(name: str, out_ch: int) -> SparseTensor:
             st = SparseConvLayer(self.cfg.out_channels, ndim2d=True,
                                  norm=getattr(self.cfg, "norm", "ln"),
-                                 name=f"{name}_conv")(bev)
+                                 name=f"{name}_conv")(bev, rb2d)
             k = 3 * 3
             cin = st.features.shape[-1]
             w = self.param(f"{name}_head_kernel",
@@ -195,7 +204,7 @@ class VoxelNeXtHead(nn.Module):
             b = self.param(f"{name}_head_bias",
                            nn.initializers.constant(
                                -4.6 if name == "hm" else 0.0), (out_ch,))
-            return submanifold_conv(st, w, b, ndim2d=True)
+            return submanifold_conv(st, w, b, ndim2d=True, rulebook=rb2d)
 
         return {
             "hm": branch("hm", self.cfg.num_classes),

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.sparse import (SparseTensor, merge_add, reindex_upscale)
+from ..ops.sparse import build_subm_rulebook
 from .voxelnext import SparseBasicBlock, SparseConvLayer
 
 
@@ -30,15 +31,19 @@ class VoxelNeXt2DBackbone(nn.Module):
     def __call__(self, st: SparseTensor) -> SparseTensor:
         chs = self.channels
         cap = self.capacity or st.ids.shape[0]
-        st = SparseConvLayer(chs[0], ndim2d=True, name="conv_input")(st)
-        st = SparseBasicBlock(chs[0], ndim2d=True, name="res1")(st)
+        rb = build_subm_rulebook(st, ndim2d=True)
+        st = SparseConvLayer(chs[0], ndim2d=True, name="conv_input")(st, rb)
+        st = SparseBasicBlock(chs[0], ndim2d=True, name="res1")(st, rb)
         stages = []
         for i, ch in enumerate(chs[1:], start=1):
             cap = max(cap * 3 // 4, 1024)
             st = SparseConvLayer(ch, subm=False, stride=2, ndim2d=True,
                                  out_capacity=cap, name=f"down{i}")(st)
-            st = SparseBasicBlock(ch, ndim2d=True, name=f"res{i + 1}a")(st)
-            st = SparseBasicBlock(ch, ndim2d=True, name=f"res{i + 1}b")(st)
+            rb = build_subm_rulebook(st, ndim2d=True)
+            st = SparseBasicBlock(ch, ndim2d=True,
+                                  name=f"res{i + 1}a")(st, rb)
+            st = SparseBasicBlock(ch, ndim2d=True,
+                                  name=f"res{i + 1}b")(st, rb)
             stages.append(st)
         # stages: stride 2, 4, 8, 16(, 32) — fold the last two onto the
         # stride-8 grid

@@ -127,42 +127,105 @@ def _offsets(kernel: int, ndim2d: bool) -> np.ndarray:
                     np.int32)
 
 
-def _neighbor_ids(st: SparseTensor, off: np.ndarray) -> jax.Array:
-    """ids of (coord + off) per active voxel, SENTINEL where out of grid."""
-    coords = delinearize(st.ids, st.grid)
-    shifted = coords + jnp.asarray(off, jnp.int32)[None, :]
-    nid = linearize(shifted, st.grid)
-    return jnp.where(st.valid, nid, SENTINEL)
-
-
 def _lookup(sorted_ids: jax.Array, query: jax.Array) -> Tuple[jax.Array,
                                                               jax.Array]:
-    """slots of `query` in `sorted_ids` + hit mask (binary search)."""
+    """slots of `query` in `sorted_ids` + hit mask (binary search).
+
+    NOTE: jnp.searchsorted lowers to a serial gather-per-step loop on TPU —
+    measured 166 ms for 26 lookups over 60k ids (benchmarks/
+    sparse_bisect.json) vs 2.9 ms for a full 1.6M sort. Prefer
+    `_occupancy_table` + direct gather whenever the grid fits
+    (_DENSE_LOOKUP_MAX_CELLS); this stays as the huge-grid fallback.
+    """
     slot = jnp.searchsorted(sorted_ids, query)
     slot = jnp.minimum(slot, sorted_ids.shape[0] - 1)
     hit = (sorted_ids[slot] == query) & (query != SENTINEL)
     return slot, hit
 
 
-def submanifold_conv(st: SparseTensor, weights: jax.Array,
-                     bias: jax.Array | None = None,
-                     kernel: int = 3, ndim2d: bool = False) -> SparseTensor:
-    """SubMConv (spconv SubMConv3d/SubMConv2d): active set unchanged.
+# Dense occupancy tables above this cell count (int32 -> 512 MB) fall back
+# to binary search. Every shipped dataset grid fits: nuScenes 0.075 m =
+# 1440*1440*40 = 83M cells (332 MB), KITTI 0.05 m = 90M (360 MB).
+_DENSE_LOOKUP_MAX_CELLS = 128 * 1024 * 1024
 
-    weights [K^d, Cin, Cout] ordered like `_offsets`; the center offset's
-    GEMM plus K^d-1 neighbor-gathered GEMMs in one einsum.
+
+def _occupancy_table(st: SparseTensor) -> jax.Array:
+    """[ncells + 1] int32: cell -> active-voxel slot, -1 if empty.
+
+    One scatter of V entries; lookups become direct gathers (the TPU-fast
+    replacement for per-query binary search). The spare last cell absorbs
+    SENTINEL/out-of-grid queries.
+    """
+    nx, ny, nz = st.grid
+    ncells = nx * ny * nz
+    v = st.ids.shape[0]
+    idx = jnp.where(st.valid, st.ids, ncells)
+    table = jnp.full((ncells + 1,), -1, jnp.int32)
+    table = table.at[idx].set(jnp.arange(v, dtype=jnp.int32))
+    return table.at[ncells].set(-1)
+
+
+def _table_lookup(table: jax.Array, query: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """(slot, hit) of linear-id queries against an occupancy table."""
+    ncells = table.shape[0] - 1
+    q = jnp.where((query >= 0) & (query < ncells), query, ncells)
+    slot = table[q]
+    hit = slot >= 0
+    return jnp.maximum(slot, 0), hit
+
+
+def build_subm_rulebook(st: SparseTensor, kernel: int = 3,
+                        ndim2d: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Neighbor rulebook for submanifold convs: (slot [K, V], hit [K, V]).
+
+    The rulebook depends only on the ACTIVE SET (ids + grid), not on
+    features or weights — every SubMConv sharing an active set (residual
+    blocks within a stage, the per-branch head convs on the BEV set,
+    spconv's `indice_key` reuse) can share one build. Building it is the
+    expensive half of a subm conv (K-1 binary searches over V ids); the
+    reuse mirrors spconv 2.x caching rulebooks per indice_key.
     """
     offs = _offsets(kernel, ndim2d)
-    gathered = []
+    coords = delinearize(st.ids, st.grid)
+    v = st.ids.shape[0]
+    nx, ny, nz = st.grid
+    table = (_occupancy_table(st)
+             if nx * ny * nz <= _DENSE_LOOKUP_MAX_CELLS else None)
+    slots, hits = [], []
     for off in offs:
         if (off == 0).all():
-            gathered.append(st.features)
+            slots.append(jnp.arange(v, dtype=jnp.int32))
+            hits.append(st.valid)
             continue
-        nid = _neighbor_ids(st, off)
-        slot, hit = _lookup(st.ids, nid)
-        gathered.append(jnp.where(hit[:, None], st.features[slot], 0.0))
-    stacked = jnp.stack(gathered)                 # [K, V, Cin]
-    out = jnp.einsum("kvc,kcd->vd", stacked, weights,
+        shifted = coords + jnp.asarray(off, jnp.int32)[None, :]
+        nid = jnp.where(st.valid, linearize(shifted, st.grid), SENTINEL)
+        if table is not None:
+            slot, hit = _table_lookup(table, nid)
+        else:
+            slot, hit = _lookup(st.ids, nid)
+        slots.append(slot.astype(jnp.int32))
+        hits.append(hit)
+    return jnp.stack(slots), jnp.stack(hits)
+
+
+def submanifold_conv(st: SparseTensor, weights: jax.Array,
+                     bias: jax.Array | None = None,
+                     kernel: int = 3, ndim2d: bool = False,
+                     rulebook: Tuple[jax.Array, jax.Array] | None = None
+                     ) -> SparseTensor:
+    """SubMConv (spconv SubMConv3d/SubMConv2d): active set unchanged.
+
+    weights [K^d, Cin, Cout] ordered like `_offsets`; one [K, V, Cin]
+    neighbor gather + a single einsum. Pass a `rulebook` from
+    `build_subm_rulebook` to amortize the neighbor search across convs on
+    the same active set.
+    """
+    if rulebook is None:
+        rulebook = build_subm_rulebook(st, kernel, ndim2d)
+    slot, hit = rulebook
+    gathered = jnp.where(hit[:, :, None], st.features[slot], 0.0)
+    out = jnp.einsum("kvc,kcd->vd", gathered, weights,
                      preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
@@ -254,13 +317,19 @@ def inverse_conv(st: SparseTensor, target_ids: jax.Array, target_grid,
     strides = jnp.asarray([sz, stride, stride], jnp.int32)[None]
     shift = padding - kernel // 2
     shift_vec = shift * np.array([0 if ndim2d else 1, 1, 1], np.int32)[None]
+    nx, ny, nz = st.grid
+    table = (_occupancy_table(st)
+             if nx * ny * nz <= _DENSE_LOOKUP_MAX_CELLS else None)
     gathered = []
     for off in offs:
         shifted = coords + shift_vec - jnp.asarray(off, jnp.int32)[None]
         divisible = jnp.all(shifted % strides == 0, axis=1)
         gid = linearize(shifted // strides, st.grid)
         gid = jnp.where(valid_t & divisible, gid, SENTINEL)
-        slot, hit = _lookup(st.ids, gid)
+        if table is not None:
+            slot, hit = _table_lookup(table, gid)
+        else:
+            slot, hit = _lookup(st.ids, gid)
         gathered.append(jnp.where(hit[:, None], st.features[slot], 0.0))
     stacked = jnp.stack(gathered)                 # [K, V, Cin]
     out = jnp.einsum("kvc,kcd->vd", stacked, weights,

@@ -42,16 +42,22 @@ def voxel_query(st: SparseTensor, query_coords: jax.Array,
     cut, which callers apply on gathered xyz).
 
     Returns (slots [M, K] int32 into st.features, hit [M, K] bool)."""
+    from .sparse import (_DENSE_LOOKUP_MAX_CELLS, _lookup,
+                         _occupancy_table, _table_lookup)
     offs = neighborhood_offsets(ranges)
     slots, hits = [], []
     valid_q = jnp.all(query_coords >= 0, axis=1)
+    nx, ny, nz = st.grid
+    table = (_occupancy_table(st)
+             if nx * ny * nz <= _DENSE_LOOKUP_MAX_CELLS else None)
     for off in offs:
         nb = query_coords + jnp.asarray(off, jnp.int32)[None]
         nid = linearize(nb, st.grid)
         nid = jnp.where(valid_q, nid, SENTINEL)
-        slot = jnp.searchsorted(st.ids, nid)
-        slot = jnp.minimum(slot, st.ids.shape[0] - 1)
-        hit = (st.ids[slot] == nid) & (nid != SENTINEL)
+        if table is not None:
+            slot, hit = _table_lookup(table, nid)
+        else:
+            slot, hit = _lookup(st.ids, nid)
         slots.append(slot)
         hits.append(hit)
     return jnp.stack(slots, axis=1), jnp.stack(hits, axis=1)

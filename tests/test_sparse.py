@@ -131,3 +131,32 @@ def test_gradients_flow_through_sparse_conv(rng):
     g = jax.grad(loss)(w)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_shared_rulebook_matches_fresh():
+    """A rulebook from build_subm_rulebook reused across convs on the same
+    active set gives identical results to per-conv construction (spconv
+    indice_key semantics)."""
+    import numpy as np
+    from lvv_tpu.ops.sparse import (build_subm_rulebook, from_voxels,
+                                    submanifold_conv)
+    rng = np.random.default_rng(7)
+    grid = (12, 12, 6)
+    n = 64
+    coords = np.stack([rng.integers(0, 6, n), rng.integers(0, 12, n),
+                       rng.integers(0, 12, n)], axis=1).astype(np.int32)
+    coords[50:] = -1  # padding rows
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    st = from_voxels(jnp.asarray(coords), jnp.asarray(feats), grid)
+    w1 = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.normal(size=(27, 16, 8)).astype(np.float32)) * 0.1
+    rb = build_subm_rulebook(st)
+    a1 = submanifold_conv(st, w1, rulebook=rb)
+    b1 = submanifold_conv(st, w1)
+    np.testing.assert_allclose(np.asarray(a1.features),
+                               np.asarray(b1.features), atol=1e-5)
+    # second conv on the same set reuses the same rulebook
+    a2 = submanifold_conv(a1, w2, rulebook=rb)
+    b2 = submanifold_conv(b1, w2)
+    np.testing.assert_allclose(np.asarray(a2.features),
+                               np.asarray(b2.features), atol=1e-5)
