@@ -83,12 +83,19 @@ def unique_with_inverse(ids: jax.Array, fill_id, max_unique: int):
     num_unique = jnp.maximum(run_rank[-1] + 1, 0)
     slot_sorted = jnp.where(s != fill_id, run_rank, max_unique - 1)
     slot_sorted = jnp.minimum(slot_sorted, max_unique - 1)
-    inverse = jnp.zeros((n,), jnp.int32).at[order].set(
-        slot_sorted.astype(jnp.int32))
+    # `order` is a permutation: un-permute with a gather through the inverse
+    # permutation instead of a scatter (TPU scatters serialize on possible
+    # collisions; a second argsort + gather is ~10x cheaper at 1.6M ids)
+    inv_perm = jnp.argsort(order)
+    inverse = slot_sorted.astype(jnp.int32)[inv_perm]
+    # slot_sorted is sorted and every element of a run writes the same
+    # value, so duplicate-index writes are benign
     unique_ids = jnp.full((max_unique,), fill_id, ids.dtype).at[
-        slot_sorted].set(jnp.where(s != fill_id, s, fill_id))
-    counts = segment_sum((s != fill_id).astype(jnp.int32), slot_sorted,
-                         max_unique)
+        slot_sorted].set(jnp.where(s != fill_id, s, fill_id),
+                         indices_are_sorted=True)
+    counts = jax.ops.segment_sum((s != fill_id).astype(jnp.int32),
+                                 slot_sorted, num_segments=max_unique,
+                                 indices_are_sorted=True)
     # overflow slot may mix invalids; zero it if it holds no real run
     has_run = jnp.any((slot_sorted == max_unique - 1) & (s != fill_id))
     counts = counts.at[max_unique - 1].set(
