@@ -160,3 +160,22 @@ def test_shared_rulebook_matches_fresh():
     b2 = submanifold_conv(b1, w2)
     np.testing.assert_allclose(np.asarray(a2.features),
                                np.asarray(b2.features), atol=1e-5)
+
+
+def test_gather_conv_matches_sorted_fallback(rng, monkeypatch):
+    """The output-centric gather formulation and the sort+segment-sum
+    fallback produce the same active set and features, including under
+    capacity overflow (both keep the lowest-id sites)."""
+    import lvv_tpu.ops.sparse as S
+    grid = (8, 8, 4)
+    st, coords, feats = _random_sparse(rng, grid, n_active=25, cin=3, cap=64)
+    w = jnp.asarray(rng.normal(size=(27, 3, 4)).astype(np.float32) * 0.1)
+    for cap in (64, 8):  # ample + overflowing
+        fast = S.sparse_conv(st, w, stride=2, padding=1, out_capacity=cap)
+        monkeypatch.setattr(S, "_DENSE_LOOKUP_MAX_CELLS", 0)
+        slow = S.sparse_conv(st, w, stride=2, padding=1, out_capacity=cap)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(fast.ids),
+                                      np.asarray(slow.ids))
+        np.testing.assert_allclose(np.asarray(fast.features),
+                                   np.asarray(slow.features), atol=1e-4)
