@@ -1,3 +1,4 @@
-"""Inference subsystem: checkpoint loading + generation engine."""
+"""Inference subsystem: checkpoint loading + generation + serving."""
 from .engine import InferenceEngine
 from .loader import ModelLoader
+from .server import ServingEngine

@@ -1,0 +1,232 @@
+"""ServingEngine — dynamic-batching VQA request server.
+
+The reference serves requests one at a time: `InferenceEngine.generate_batch`
+is a Python loop of single-sample `model.generate` calls
+(src/encoder-decoder/inference/inference_engine.py:306-334). On TPU the
+single-sample path leaves most of the chip idle — the decode matvecs sit on a
+per-op latency floor and the MXU is underfed (measured in
+benchmarks/serving_bench.py: batch 8 is ~1.36x the frames/s of batch 1).
+
+This engine is the TPU-idiomatic serving runtime:
+
+- callers `submit()` requests from any thread and get a Future;
+- a worker thread drains the queue into batches: it waits at most
+  `max_wait_ms` after the first request for co-travellers, up to `max_batch`;
+- batches are padded up to a fixed BUCKET size (powers of two) so XLA
+  compiles one program per bucket, not per batch size — static shapes are
+  what keeps the jit cache small and the MXU tiled;
+- one `greedy_generate` call serves the whole bucket; pad rows are clones of
+  row 0 and their results are dropped.
+
+Throughput/latency telemetry is kept in `stats()` so a deployment can tune
+`max_batch`/`max_wait_ms` against its traffic.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..models import greedy_generate
+
+
+def _buckets_up_to(max_batch: int) -> List[int]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+@dataclass
+class _Request:
+    bev: np.ndarray          # [C, H, W]
+    images: np.ndarray       # [6, 3, S, S]
+    view_valid: np.ndarray   # [6]
+    text_ids: np.ndarray     # [T]
+    text_len: int
+    future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+class ServingEngine:
+    """Dynamic-batching server over a jitted VQA model.
+
+    Parameters
+    ----------
+    model, params : the VQAModel and its parameter pytree.
+    tokenizer : optional; needed only for the text-level `generate` API and
+        for the default `eos_id`.
+    max_batch : largest batch one device program serves (the bucket ceiling).
+    max_wait_ms : how long the worker holds the first request of a batch
+        waiting for more work before launching a partial bucket.
+    params_decode : optional int8 tree from `prepare_serving_params`, used
+        inside the decode scan only.
+    """
+
+    def __init__(self, model, params, tokenizer=None, *,
+                 max_batch: int = 8, max_wait_ms: float = 4.0,
+                 max_new_tokens: int = 32, eos_id: Optional[int] = None,
+                 params_decode=None):
+        if eos_id is None:
+            if tokenizer is None:
+                raise ValueError("pass eos_id when no tokenizer is given")
+            eos_id = tokenizer.eos_id
+        self.model = model
+        self.params = params
+        self.params_decode = params_decode
+        self.tokenizer = tokenizer
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.max_new_tokens = int(max_new_tokens)
+        self.eos_id = int(eos_id)
+        self.buckets = _buckets_up_to(self.max_batch)
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "pad_rows": 0,
+                       "batch_sizes": [], "latency_s": []}
+        self._closed = threading.Event()
+        self._worker = threading.Thread(target=self._serve_loop,
+                                        name="lvv-serving", daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- public
+
+    def submit(self, bev, images, view_valid, text_ids,
+               text_len: int) -> Future:
+        """Enqueue one request; resolves to (token_ids list, text|None).
+
+        Arrays are single-sample (no batch dim). All requests must share the
+        static shapes the engine was first called with — that is what lets
+        every bucket reuse one compiled program.
+        """
+        if self._closed.is_set():
+            raise RuntimeError("ServingEngine is closed")
+        req = _Request(np.asarray(bev), np.asarray(images),
+                       np.asarray(view_valid, bool),
+                       np.asarray(text_ids, np.int32), int(text_len))
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, question: str, bev, cam_paths=None,
+                 timeout: Optional[float] = None) -> str:
+        """Blocking text-level convenience (requires a tokenizer)."""
+        fut = self.submit_text(question, bev, cam_paths)
+        return fut.result(timeout=timeout)[1]
+
+    def submit_text(self, question: str, bev, cam_paths=None) -> Future:
+        if self.tokenizer is None:
+            raise ValueError("submit_text requires a tokenizer")
+        from ..data.collate import pack_text
+        cfg = self.model.cfg
+        s = cfg.sam.img_size
+        ids, _, length, _ = pack_text(self.tokenizer, question, None,
+                                      max_prompt=128, max_answer=0)
+        images = np.zeros((6, 3, s, s), np.float32)
+        valid = np.zeros((6,), bool)
+        if cam_paths is not None and any(p for p in cam_paths):
+            import jax.numpy as jnp
+            from ..data.collate import load_views_u8
+            from ..ops.image import preprocess_views
+            u8, valid = load_views_u8(cam_paths)
+            images = np.asarray(preprocess_views(jnp.asarray(u8), s))
+        return self.submit(bev, images, valid, ids, length)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            st = dict(self._stats)
+            st["batch_sizes"] = list(st["batch_sizes"])
+            lat = sorted(st.pop("latency_s"))
+            st["p50_latency_s"] = lat[len(lat) // 2] if lat else None
+            return st
+
+    def close(self, timeout: float = 30.0) -> None:
+        if self._closed.is_set():
+            return
+        self._closed.set()
+        self._worker.join(timeout=timeout)
+        # fail anything still queued
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("engine closed"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------- worker
+
+    def _take_batch(self) -> List[_Request]:
+        """Block for the first request, then hold the door max_wait_ms."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _serve_loop(self) -> None:
+        while not self._closed.is_set() or not self._queue.empty():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # surface device errors to callers
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _run_batch(self, batch: List[_Request]) -> None:
+        import jax.numpy as jnp
+
+        n = len(batch)
+        bucket = next(b for b in self.buckets if b >= n)
+        rows = batch + [batch[0]] * (bucket - n)   # pad rows: clone row 0
+        bev = jnp.asarray(np.stack([r.bev for r in rows]))
+        images = jnp.asarray(np.stack([r.images for r in rows]))
+        valid = jnp.asarray(np.stack([r.view_valid for r in rows]))
+        ids = jnp.asarray(np.stack([r.text_ids for r in rows]))
+        lens = jnp.asarray(np.array([r.text_len for r in rows], np.int32))
+
+        toks, out_lens = greedy_generate(
+            self.model, self.params, bev, images, valid, ids, lens,
+            max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
+            params_decode=self.params_decode)
+        toks = np.asarray(toks)
+        out_lens = np.asarray(out_lens)
+
+        now = time.perf_counter()
+        with self._stats_lock:
+            self._stats["requests"] += n
+            self._stats["batches"] += 1
+            self._stats["pad_rows"] += bucket - n
+            self._stats["batch_sizes"].append(n)
+            self._stats["latency_s"] += [now - r.t_submit for r in batch]
+
+        for i, req in enumerate(batch):
+            ids_out = toks[i][: int(out_lens[i])].tolist()
+            text = (self.tokenizer.decode(ids_out)
+                    if self.tokenizer is not None else None)
+            req.future.set_result((ids_out, text))

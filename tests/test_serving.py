@@ -1,0 +1,159 @@
+"""ServingEngine: dynamic batching correctness (results match the directly
+batched greedy_generate call), bucket padding, text API, shutdown semantics.
+
+The reference has no serving runtime — its generate_batch is a sequential
+Python loop (inference_engine.py:306-334); this subsystem is the TPU-native
+replacement (see lvv_tpu/inference/server.py docstring)."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lvv_tpu import config as C
+from lvv_tpu.data import ByteTokenizer
+from lvv_tpu.inference.server import ServingEngine, _buckets_up_to
+from lvv_tpu.models import VQABatch, VQAModel, greedy_generate
+
+NEW_TOKENS = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = C.override(C.tiny_config(), "model.dtype", "float32")
+    model = VQAModel(cfg.model)
+    c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
+    s = cfg.model.sam.img_size
+    batch = VQABatch(
+        bev=jnp.zeros((1, c, h, w)), images=jnp.zeros((1, 6, 3, s, s)),
+        view_valid=jnp.ones((1, 6), bool),
+        text_ids=jnp.zeros((1, 8), jnp.int32),
+        text_len=jnp.full((1,), 8, jnp.int32),
+        labels=jnp.full((1, 8), -100, jnp.int32),
+        use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    rng = np.random.default_rng(7)
+    reqs = []
+    for i in range(3):
+        reqs.append(dict(
+            bev=rng.normal(size=(c, h, w)).astype(np.float32),
+            images=rng.uniform(-1, 1, (6, 3, s, s)).astype(np.float32),
+            view_valid=np.ones((6,), bool),
+            text_ids=rng.integers(1, 200, (8,)).astype(np.int32),
+            text_len=8 - i))
+    return cfg, model, params, reqs
+
+
+def test_bucket_schedule():
+    assert _buckets_up_to(8) == [1, 2, 4, 8]
+    assert _buckets_up_to(6) == [1, 2, 4, 6]
+    assert _buckets_up_to(1) == [1]
+
+
+def test_batched_results_match_direct_call(setup):
+    cfg, model, params, reqs = setup
+    eng = ServingEngine(model, params, max_batch=4, max_wait_ms=300.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2)
+    try:
+        futs = [eng.submit(r["bev"], r["images"], r["view_valid"],
+                           r["text_ids"], r["text_len"]) for r in reqs]
+        got = [f.result(timeout=300) for f in futs]
+    finally:
+        eng.close()
+
+    st = eng.stats()
+    assert st["requests"] == 3
+    assert st["batches"] == 1, "requests should have shared one bucket"
+    assert st["batch_sizes"] == [3]
+    assert st["pad_rows"] == 1          # bucket 4, 3 real rows
+    assert st["p50_latency_s"] is not None
+
+    # direct call on the identical padded bucket -> identical program,
+    # identical tokens
+    rows = reqs + [reqs[0]]
+    toks, lens = greedy_generate(
+        model, params,
+        jnp.asarray(np.stack([r["bev"] for r in rows])),
+        jnp.asarray(np.stack([r["images"] for r in rows])),
+        jnp.asarray(np.stack([r["view_valid"] for r in rows])),
+        jnp.asarray(np.stack([r["text_ids"] for r in rows])),
+        jnp.asarray(np.array([r["text_len"] for r in rows], np.int32)),
+        max_new_tokens=NEW_TOKENS, eos_id=2)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for i, (ids, text) in enumerate(got):
+        assert text is None             # no tokenizer attached
+        assert ids == toks[i][: int(lens[i])].tolist()
+
+
+def test_partial_bucket_flushes_after_wait(setup):
+    cfg, model, params, reqs = setup
+    eng = ServingEngine(model, params, max_batch=4, max_wait_ms=5.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2)
+    try:
+        r = reqs[0]
+        fut = eng.submit(r["bev"], r["images"], r["view_valid"],
+                         r["text_ids"], r["text_len"])
+        ids, _ = fut.result(timeout=300)
+        assert len(ids) <= NEW_TOKENS
+        assert eng.stats()["batch_sizes"] == [1]
+    finally:
+        eng.close()
+
+
+def test_text_api_and_tokenizer(setup):
+    cfg, model, params, reqs = setup
+    tk = ByteTokenizer(cfg.model.llm.special_tokens)
+    eng = ServingEngine(model, params, tk, max_batch=2, max_wait_ms=5.0,
+                        max_new_tokens=NEW_TOKENS)
+    try:
+        out = eng.generate("what is ahead?", reqs[0]["bev"], timeout=300)
+        assert isinstance(out, str)
+    finally:
+        eng.close()
+
+
+def test_closed_engine_rejects(setup):
+    cfg, model, params, reqs = setup
+    eng = ServingEngine(model, params, max_batch=2, max_wait_ms=1.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2)
+    eng.close()
+    eng.close()                          # idempotent
+    r = reqs[0]
+    with pytest.raises(RuntimeError):
+        eng.submit(r["bev"], r["images"], r["view_valid"],
+                   r["text_ids"], r["text_len"])
+
+
+def test_concurrent_submitters(setup):
+    """Many client threads, one device program at a time; every future
+    resolves and per-request results are independent of co-travellers."""
+    cfg, model, params, reqs = setup
+    eng = ServingEngine(model, params, max_batch=2, max_wait_ms=20.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2)
+    results = {}
+    lock = threading.Lock()
+
+    def client(i):
+        r = reqs[i % len(reqs)]
+        fut = eng.submit(r["bev"], r["images"], r["view_valid"],
+                         r["text_ids"], r["text_len"])
+        ids, _ = fut.result(timeout=300)
+        with lock:
+            results[i] = ids
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        eng.close()
+    assert set(results) == set(range(5))
+    # same request payload -> same greedy tokens, whoever it batched with
+    assert results[0] == results[3]
+    assert eng.stats()["requests"] == 5
