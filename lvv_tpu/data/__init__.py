@@ -2,5 +2,6 @@
 from .collate import Collator, load_views_u8, pack_text
 from .dataset import (CAM_VIEWS, DeterministicSampler, MixedNuDataset,
                       index_bev_features, load_qa_rows, split_rows)
+from .prefetch import Prefetcher
 from .tokenizer import (ByteTokenizer, HFTokenizer, format_prompt,
                         load_tokenizer)

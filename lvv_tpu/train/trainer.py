@@ -161,27 +161,44 @@ class Trainer:
                 t_epoch = time.perf_counter()
                 skip = (global_step % self.steps_per_epoch
                         if epoch == start_epoch else 0)
-                for bi, batch in enumerate(self._batches(self.train_idx,
-                                                         epoch)):
-                    if bi < skip:   # mid-epoch resume (reference :386-389)
-                        continue
-                    batch = shard_batch(batch, self.mesh)
-                    self.state, metrics = self.train_step(self.state, batch)
-                    global_step += 1
-                    loss = float(metrics["loss"])
-                    meter.update(loss)
-                    if global_step % cfg.train.log_every == 0:
-                        log0(f"[e{epoch} s{global_step}] loss {loss:.4f} "
-                             f"(avg {meter.avg:.4f}) "
-                             f"gnorm {float(metrics['grad_norm']):.3f}")
-                        if tb is not None:
-                            tb.add_scalar("train/loss", loss, global_step)
-                            tb.add_scalar(
-                                "train/grad_norm",
-                                float(metrics["grad_norm"]), global_step)
-                    if global_step % cfg.train.save_every_steps == 0:
-                        self.ckpt.save(self.state, step=global_step,
-                                       cfg=self.cfg)
+                # prefetch: collate + device_put on a worker thread, 2
+                # batches ahead, so host data prep overlaps device compute
+                # (reference gets this from DataLoader num_workers)
+                from ..data.prefetch import Prefetcher
+                batches = Prefetcher(
+                    self._batches(self.train_idx, epoch),
+                    prepare=lambda b: shard_batch(b, self.mesh), depth=2)
+                # metric fetch is DEFERRED to log points: float(loss) every
+                # step would sync host<->device per step and stall the
+                # async dispatch pipeline (~31 ms/step through the axon
+                # relay alone)
+                pending = []
+                with batches:
+                    for bi, batch in enumerate(batches):
+                        if bi < skip:  # mid-epoch resume (reference :386-389)
+                            continue
+                        self.state, metrics = self.train_step(self.state,
+                                                              batch)
+                        global_step += 1
+                        pending.append(metrics)
+                        if global_step % cfg.train.log_every == 0:
+                            for m in pending:
+                                meter.update(float(m["loss"]))
+                            pending.clear()
+                            gn = float(metrics["grad_norm"])
+                            log0(f"[e{epoch} s{global_step}] "
+                                 f"loss {meter.val:.4f} "
+                                 f"(avg {meter.avg:.4f}) gnorm {gn:.3f}")
+                            if tb is not None:
+                                tb.add_scalar("train/loss", meter.val,
+                                              global_step)
+                                tb.add_scalar("train/grad_norm", gn,
+                                              global_step)
+                        if global_step % cfg.train.save_every_steps == 0:
+                            self.ckpt.save(self.state, step=global_step,
+                                           cfg=self.cfg)
+                for m in pending:   # drain tail for the epoch average
+                    meter.update(float(m["loss"]))
                 epoch_time = time.perf_counter() - t_epoch
                 record = {"epoch": epoch, "step": global_step,
                           "train_loss": meter.avg,
