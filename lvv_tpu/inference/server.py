@@ -35,8 +35,8 @@ import numpy as np
 from ..models import greedy_generate
 
 
-def _buckets_up_to(max_batch: int) -> List[int]:
-    out, b = [], 1
+def _buckets_up_to(max_batch: int, multiple: int = 1) -> List[int]:
+    out, b = [], multiple
     while b < max_batch:
         out.append(b)
         b *= 2
@@ -68,25 +68,44 @@ class ServingEngine:
         waiting for more work before launching a partial bucket.
     params_decode : optional int8 tree from `prepare_serving_params`, used
         inside the decode scan only.
+    mesh : optional jax.sharding.Mesh. When given, params are laid out by
+        the GSPMD rules in parallel/sharding.py (LLM matmuls tensor-parallel
+        over the "model" axis, rest replicated) and request batches shard
+        over the "data" axis — multi-chip serving with XLA-inserted
+        collectives, no code change in the model. Buckets snap to multiples
+        of the data-axis size so every shard gets equal rows.
     """
 
     def __init__(self, model, params, tokenizer=None, *,
                  max_batch: int = 8, max_wait_ms: float = 4.0,
                  max_new_tokens: int = 32, eos_id: Optional[int] = None,
-                 params_decode=None):
+                 params_decode=None, mesh=None):
         if eos_id is None:
             if tokenizer is None:
                 raise ValueError("pass eos_id when no tokenizer is given")
             eos_id = tokenizer.eos_id
         self.model = model
+        self.mesh = mesh
+        data_par = 1
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            from ..parallel.sharding import shard_params
+            data_par = int(mesh.shape.get("data", 1))
+            params = shard_params(params, mesh)
+            if params_decode is not None:
+                params_decode = shard_params(params_decode, mesh)
+            self._batch_sharding = batch_sharding(mesh)
         self.params = params
         self.params_decode = params_decode
         self.tokenizer = tokenizer
+        if max_batch % data_par:
+            raise ValueError(f"max_batch {max_batch} must be a multiple of "
+                             f"the mesh data axis ({data_par})")
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         self.max_new_tokens = int(max_new_tokens)
         self.eos_id = int(eos_id)
-        self.buckets = _buckets_up_to(self.max_batch)
+        self.buckets = _buckets_up_to(self.max_batch, data_par)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stats_lock = threading.Lock()
@@ -204,11 +223,18 @@ class ServingEngine:
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
         rows = batch + [batch[0]] * (bucket - n)   # pad rows: clone row 0
-        bev = jnp.asarray(np.stack([r.bev for r in rows]))
-        images = jnp.asarray(np.stack([r.images for r in rows]))
-        valid = jnp.asarray(np.stack([r.view_valid for r in rows]))
-        ids = jnp.asarray(np.stack([r.text_ids for r in rows]))
-        lens = jnp.asarray(np.array([r.text_len for r in rows], np.int32))
+        import jax
+
+        def put(x):
+            if self.mesh is not None:
+                return jax.device_put(x, self._batch_sharding)
+            return jnp.asarray(x)
+
+        bev = put(np.stack([r.bev for r in rows]))
+        images = put(np.stack([r.images for r in rows]))
+        valid = put(np.stack([r.view_valid for r in rows]))
+        ids = put(np.stack([r.text_ids for r in rows]))
+        lens = put(np.array([r.text_len for r in rows], np.int32))
 
         toks, out_lens = greedy_generate(
             self.model, self.params, bev, images, valid, ids, lens,

@@ -127,6 +127,52 @@ def test_closed_engine_rejects(setup):
                    r["text_ids"], r["text_len"])
 
 
+def test_mesh_sharded_serving(setup):
+    """DPxTP serving over the 8-device mesh: params tensor-parallel over
+    'model', request rows split over 'data'; buckets snap to multiples of
+    the data axis. Results must match the single-device engine."""
+    from lvv_tpu.parallel import make_mesh
+    from lvv_tpu.config.schema import MeshConfig
+
+    cfg, model, params, reqs = setup
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    eng = ServingEngine(model, params, max_batch=8, max_wait_ms=300.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2, mesh=mesh)
+    try:
+        assert eng.buckets == [4, 8]
+        futs = [eng.submit(r["bev"], r["images"], r["view_valid"],
+                           r["text_ids"], r["text_len"]) for r in reqs]
+        got = [f.result(timeout=300) for f in futs]
+    finally:
+        eng.close()
+    assert eng.stats()["batch_sizes"] == [3]     # one bucket-4 program
+
+    # reference: unsharded single-device call on the identical bucket
+    rows = reqs + [reqs[0]]
+    toks, lens = greedy_generate(
+        model, params,
+        jnp.asarray(np.stack([r["bev"] for r in rows])),
+        jnp.asarray(np.stack([r["images"] for r in rows])),
+        jnp.asarray(np.stack([r["view_valid"] for r in rows])),
+        jnp.asarray(np.stack([r["text_ids"] for r in rows])),
+        jnp.asarray(np.array([r["text_len"] for r in rows], np.int32)),
+        max_new_tokens=NEW_TOKENS, eos_id=2)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for i, (ids, _) in enumerate(got):
+        assert ids == toks[i][: int(lens[i])].tolist()
+
+
+def test_mesh_max_batch_divisibility(setup):
+    from lvv_tpu.parallel import make_mesh
+    from lvv_tpu.config.schema import MeshConfig
+
+    cfg, model, params, _ = setup
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    with pytest.raises(ValueError, match="multiple"):
+        ServingEngine(model, params, max_batch=6, max_wait_ms=1.0,
+                      max_new_tokens=NEW_TOKENS, eos_id=2, mesh=mesh)
+
+
 def test_concurrent_submitters(setup):
     """Many client threads, one device program at a time; every future
     resolves and per-request results are independent of co-travellers."""
