@@ -79,7 +79,7 @@ class ServingEngine:
     def __init__(self, model, params, tokenizer=None, *,
                  max_batch: int = 8, max_wait_ms: float = 4.0,
                  max_new_tokens: int = 32, eos_id: Optional[int] = None,
-                 params_decode=None, mesh=None):
+                 params_decode=None, mesh=None, pipeline_depth: int = 2):
         if eos_id is None:
             if tokenizer is None:
                 raise ValueError("pass eos_id when no tokenizer is given")
@@ -105,6 +105,9 @@ class ServingEngine:
         self.max_wait_ms = float(max_wait_ms)
         self.max_new_tokens = int(max_new_tokens)
         self.eos_id = int(eos_id)
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
+        self.pipeline_depth = int(pipeline_depth)
         self.buckets = _buckets_up_to(self.max_batch, data_par)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -187,10 +190,10 @@ class ServingEngine:
 
     # ------------------------------------------------------------- worker
 
-    def _take_batch(self) -> List[_Request]:
+    def _take_batch(self, first_wait: float = 0.05) -> List[_Request]:
         """Block for the first request, then hold the door max_wait_ms."""
         try:
-            first = self._queue.get(timeout=0.05)
+            first = self._queue.get(timeout=first_wait)
         except queue.Empty:
             return []
         batch = [first]
@@ -206,24 +209,47 @@ class ServingEngine:
         return batch
 
     def _serve_loop(self) -> None:
-        while not self._closed.is_set() or not self._queue.empty():
-            batch = self._take_batch()
+        """Software-pipelined serve loop.
+
+        JAX dispatch is asynchronous — `greedy_generate` returns device
+        futures immediately; only the host fetch (`np.asarray`) blocks. So
+        the loop DISPATCHES batch N+1 before FETCHING batch N's results:
+        the device starts the next program while the host sits in the
+        previous fetch (which, through the axon relay, includes a ~31 ms
+        roundtrip). In-flight depth is bounded at `pipeline_depth`.
+        """
+        inflight: List[tuple] = []
+        while True:
+            done = self._closed.is_set() and self._queue.empty()
+            if done and not inflight:
+                return
+            # fetch the oldest batch once the pipeline is full, or when
+            # there is nothing left to dispatch
+            if inflight and (len(inflight) >= self.pipeline_depth or done):
+                self._complete(*inflight.pop(0))
+                continue
+            # with results pending, only poll briefly for new work before
+            # falling back to fetching
+            batch = self._take_batch(0.005 if inflight else 0.05)
             if not batch:
+                if inflight:
+                    self._complete(*inflight.pop(0))
                 continue
             try:
-                self._run_batch(batch)
-            except Exception as e:  # surface device errors to callers
+                inflight.append((batch, self._dispatch(batch)))
+            except Exception as e:  # dispatch/trace errors -> this batch
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
 
-    def _run_batch(self, batch: List[_Request]) -> None:
+    def _dispatch(self, batch: List[_Request]):
+        """Launch one bucket program; returns device futures (non-blocking)."""
+        import jax
         import jax.numpy as jnp
 
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
         rows = batch + [batch[0]] * (bucket - n)   # pad rows: clone row 0
-        import jax
 
         def put(x):
             if self.mesh is not None:
@@ -240,9 +266,21 @@ class ServingEngine:
             self.model, self.params, bev, images, valid, ids, lens,
             max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
             params_decode=self.params_decode)
-        toks = np.asarray(toks)
-        out_lens = np.asarray(out_lens)
+        return toks, out_lens, bucket
 
+    def _complete(self, batch: List[_Request], result: tuple) -> None:
+        """Fetch one dispatched batch and resolve its futures."""
+        try:
+            toks, out_lens, bucket = result
+            toks = np.asarray(toks)
+            out_lens = np.asarray(out_lens)
+        except Exception as e:
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(e)
+            return
+
+        n = len(batch)
         now = time.perf_counter()
         with self._stats_lock:
             self._stats["requests"] += n

@@ -115,6 +115,28 @@ def test_text_api_and_tokenizer(setup):
         eng.close()
 
 
+def test_pipelined_vs_unpipelined_same_results(setup):
+    """pipeline_depth=2 (dispatch-ahead) must not change any result; it
+    only overlaps the host fetch of batch N with the device run of N+1."""
+    cfg, model, params, reqs = setup
+    outs = {}
+    for depth in (1, 2):
+        eng = ServingEngine(model, params, max_batch=1, max_wait_ms=1.0,
+                            max_new_tokens=NEW_TOKENS, eos_id=2,
+                            pipeline_depth=depth)
+        try:
+            futs = [eng.submit(r["bev"], r["images"], r["view_valid"],
+                               r["text_ids"], r["text_len"]) for r in reqs]
+            outs[depth] = [f.result(timeout=300)[0] for f in futs]
+        finally:
+            eng.close()
+        assert eng.stats()["batches"] == len(reqs)
+    assert outs[1] == outs[2]
+    with pytest.raises(ValueError):
+        ServingEngine(model, params, max_batch=1, eos_id=2,
+                      pipeline_depth=0)
+
+
 def test_closed_engine_rejects(setup):
     cfg, model, params, reqs = setup
     eng = ServingEngine(model, params, max_batch=2, max_wait_ms=1.0,
