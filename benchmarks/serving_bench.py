@@ -111,6 +111,35 @@ def main():
         print(f"batch {b}: {sec*1e3:.1f} ms -> {b/sec:.2f} frames/s",
               flush=True)
 
+        if os.environ.get("LVV_BENCH_ENGINE", "0") == "1":
+            # steady-state throughput through the PRODUCT serving path
+            # (ServingEngine: dynamic batching + depth-2 dispatch
+            # pipelining) rather than a hand-rolled loop
+            from lvv_tpu.inference.server import ServingEngine
+            eng = ServingEngine(
+                m, params, max_batch=b, max_wait_ms=30.0,
+                max_new_tokens=NEW_TOKENS, eos_id=-1,
+                params_decode=globals().get("_pq"))
+            row = dict(bev=np.asarray(bev[0]), images=np.asarray(images[0]),
+                       view_valid=np.asarray(view_valid[0]),
+                       text_ids=np.asarray(prompt[0]), text_len=t)
+            try:
+                for f in [eng.submit(**row) for _ in range(b)]:  # warm
+                    f.result(timeout=600)
+                n = 4 * b
+                t0 = time.perf_counter()
+                for f in [eng.submit(**row) for _ in range(n)]:
+                    f.result(timeout=600)
+                esec = time.perf_counter() - t0
+            finally:
+                eng.close()
+            results[f"engine_{b}"] = {
+                "frames_s": round(n / esec, 3),
+                "batch_sizes": eng.stats()["batch_sizes"]}
+            outp.write_text(json.dumps(results, indent=1))
+            print(f"engine b<={b}: {n / esec:.2f} frames/s "
+                  f"(batches {eng.stats()['batch_sizes']})", flush=True)
+
 
 if __name__ == "__main__":
     main()
