@@ -37,6 +37,11 @@ def main():
     import jax.numpy as jnp
     from lvv_tpu.config import default_config
     from lvv_tpu.models import VQAModel, greedy_generate
+    from lvv_tpu.utils import enable_compile_cache
+
+    # persistent compile cache: a fresh bench process reuses prior XLA
+    # compilations (full-model compiles are 6-10 min via the axon relay)
+    enable_compile_cache()
 
     cfg = default_config()
     if os.environ.get("LVV_BENCH_QUANT8", "1") == "1":

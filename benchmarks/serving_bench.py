@@ -36,7 +36,9 @@ def main():
 
     from lvv_tpu.config import default_config
     from lvv_tpu.models import VQABatch, VQAModel, greedy_generate
-    from lvv_tpu.utils import astype_tree
+    from lvv_tpu.utils import astype_tree, enable_compile_cache
+
+    enable_compile_cache()
 
     import os
     cfg = default_config()

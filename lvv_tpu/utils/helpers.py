@@ -44,3 +44,30 @@ def astype_tree(tree, dtype):
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
         tree)
+
+
+def enable_compile_cache(path: str | None = None) -> bool:
+    """Turn on JAX's persistent compilation cache.
+
+    Full-model TPU compiles take 6-10 min through the axon relay
+    (ROUND_NOTES); with the cache a FRESH PROCESS reuses prior
+    compilations, so bench/serving cold starts drop to seconds. Safe
+    no-op when the backend doesn't support serialization (returns False).
+    Opt out with LVV_COMPILE_CACHE=0.
+    """
+    import os
+    if os.environ.get("LVV_COMPILE_CACHE", "1") != "1":
+        return False
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/lvv_jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        try:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:
+            pass  # knob name varies across jax versions
+    except Exception:
+        return False
+    return True

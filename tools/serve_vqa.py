@@ -95,7 +95,9 @@ def main() -> None:
 
     from lvv_tpu.inference import ModelLoader
     from lvv_tpu.inference.server import ServingEngine
+    from lvv_tpu.utils import enable_compile_cache
 
+    enable_compile_cache()   # warm restarts skip the 6-10 min XLA compile
     loader = ModelLoader(args.checkpoint, args.tokenizer)
     model, params = loader.load_all()
     params_decode = None
