@@ -53,7 +53,10 @@ def main():
     # measured); the sequential-view mode bounds live memory to one view's
     # buffers. Identical param tree, so the same params serve both models.
     import dataclasses as _dc
-    model_seq = VQAModel(_dc.replace(cfg.model, sequential_views=True),
+    # LVV_BENCH_VIEWS_CHUNK: 1 = sequential (default), 2/3 = partial
+    # batching — the memory/throughput dial for the B>=16 regime
+    _vc = int(os.environ.get("LVV_BENCH_VIEWS_CHUNK", "1"))
+    model_seq = VQAModel(_dc.replace(cfg.model, views_chunk=_vc),
                          dtype=jnp.bfloat16)
     c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
     s = cfg.model.sam.img_size

@@ -198,6 +198,10 @@ class ModelConfig:
     # view's attention buffers — required for large-batch serving (B>=16
     # exceeds v5e HBM on the batched path, benchmarks/serving_bench.py)
     sequential_views: Optional[bool] = None
+    # finer dial: views folded into the batch per encode pass (1/2/3/6);
+    # 0 = derive from sequential_views. Live encode memory scales ~linearly
+    # with the chunk; throughput rises with it until HBM saturates.
+    views_chunk: int = 0
     prefix_scale: float = 0.2     # reference train.py:187, trainer.py:581,594
     bev_channels: int = 128       # probed at runtime in reference trainer.py:197-199
     bev_hw: Tuple[int, int] = (180, 180)

@@ -50,31 +50,42 @@ class DeepEncoder(nn.Module):
         return self.projector(fused)                        # [B, G*G, D]
 
     sequential_views: bool = False
+    views_chunk: int = 0   # 0 = derive from sequential_views (6 or 1)
 
     def encode_views(self, images: jax.Array,
                      view_valid: Optional[jax.Array] = None) -> jax.Array:
         """[B, V, 3, S, S] -> [B, V, G*G, D]; invalid views zeroed
         (reference encode_views zero-fill, deepencoder_infer.py:536-549).
 
-        `sequential_views=True` runs the 6 views through a lax.map instead
-        of folding them into the batch: at the 1024px product config SAM's
-        global-attention rel-pos bias is ~0.8 GB/view in fp32, so the
-        batched path would exceed v5e HBM at B*6 views; the sequential path
-        trades a 6-step scan for 1/6th the live memory. Either way it is
-        ONE jit region (the reference loops views in host Python,
-        trainer.py:527-556)."""
+        Memory/throughput dial `views_chunk` = views folded into the batch
+        per encode pass: 6 (= one fully batched pass, fastest), 1 (= the
+        sequential unroll, 1/6th the live attention memory — the B>=16
+        serving mode), or 2/3 in between. At the 1024px product config one
+        view's SAM activations are the HBM unit that matters, so live
+        memory scales ~linearly with the chunk. Any setting is ONE jit
+        region (the reference loops views in host Python,
+        trainer.py:527-556); XLA's scheduler serializes the per-chunk
+        subgraphs, bounding live memory to one chunk's buffers.
+        `sequential_views=True` is the legacy spelling of views_chunk=1."""
         b, v = images.shape[:2]
-        if self.sequential_views:
-            # static unrolled loop (lax.map over a bound flax module leaks
-            # tracers through the module-call interception); XLA's scheduler
-            # serializes the 6 identical subgraphs, bounding live memory to
-            # one view's attention buffers
-            tokens = jnp.stack([self(images[:, i]) for i in range(v)],
-                               axis=1)
-        else:
+        k = self.views_chunk or (1 if self.sequential_views else v)
+        k = min(k, v)
+        if v % k:
+            raise ValueError(f"views_chunk={k} must divide num views {v}")
+        if k == v:
             flat = images.reshape((b * v,) + images.shape[2:])
             tokens = self(flat)
             tokens = tokens.reshape((b, v) + tokens.shape[1:])
+        else:
+            # static unrolled loop (lax.map over a bound flax module leaks
+            # tracers through the module-call interception)
+            chunks = []
+            for i in range(0, v, k):
+                part = images[:, i:i + k].reshape(
+                    (b * k,) + images.shape[2:])
+                t = self(part)
+                chunks.append(t.reshape((b, k) + t.shape[1:]))
+            tokens = jnp.concatenate(chunks, axis=1)
         if view_valid is not None:
             tokens = tokens * view_valid[:, :, None, None].astype(tokens.dtype)
         return tokens
@@ -83,7 +94,8 @@ class DeepEncoder(nn.Module):
 def build_deepencoder(cfg, dtype=jnp.float32,
                       clip_lora_rank: int = 0,
                       clip_lora_alpha: float = 1.0,
-                      sequential_views: Optional[bool] = None) -> DeepEncoder:
+                      sequential_views: Optional[bool] = None,
+                      views_chunk: Optional[int] = None) -> DeepEncoder:
     """Construct from config schema (lvv_tpu.config.ModelConfig fields)."""
     sam = SAMImageEncoder(
         img_size=cfg.sam.img_size, patch_size=cfg.sam.patch_size,
@@ -114,4 +126,5 @@ def build_deepencoder(cfg, dtype=jnp.float32,
         # that forced the sequential unroll no longer reproduces
         sequential_views = False
     return DeepEncoder(sam=sam, clip=clip, projector=projector,
-                       sequential_views=sequential_views)
+                       sequential_views=sequential_views,
+                       views_chunk=int(views_chunk or 0))

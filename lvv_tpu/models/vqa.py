@@ -67,7 +67,8 @@ class VQAModel(nn.Module):
         self.deepencoder = build_deepencoder(
             c, dtype=self.dtype, clip_lora_rank=self.clip_lora_rank,
             clip_lora_alpha=self.clip_lora_alpha,
-            sequential_views=getattr(c, "sequential_views", None))
+            sequential_views=getattr(c, "sequential_views", None),
+            views_chunk=getattr(c, "views_chunk", 0))
         self.adapter = VisionAdapter(d_model=c.adapter.d_model,
                                      num_views=c.adapter.num_views,
                                      dropout=c.adapter.dropout,

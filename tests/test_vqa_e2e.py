@@ -183,3 +183,24 @@ def test_sequential_views_matches_batched(setup):
     out_seq = model_seq.apply({"params": params}, batch)
     np.testing.assert_allclose(np.asarray(out_seq[0]), np.asarray(out[0]),
                                atol=2e-4)
+
+
+def test_views_chunk_matches_batched(setup):
+    """views_chunk in {1,2,3} (the memory/throughput dial between the
+    sequential and fully-batched 6-view encode) shares the param tree and
+    matches the batched logits."""
+    import dataclasses
+    cfg, model, params, batch = setup
+    ref = model.apply({"params": params}, batch)
+    for k in (1, 2, 3):
+        m = VQAModel(dataclasses.replace(cfg.model, views_chunk=k),
+                     llm_lora_rank=2, llm_lora_alpha=4,
+                     clip_lora_rank=2, clip_lora_alpha=4)
+        out = m.apply({"params": params}, batch)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   atol=2e-4)
+    m_bad = VQAModel(dataclasses.replace(cfg.model, views_chunk=4),
+                     llm_lora_rank=2, llm_lora_alpha=4,
+                     clip_lora_rank=2, clip_lora_alpha=4)
+    with pytest.raises(ValueError, match="divide"):
+        m_bad.apply({"params": params}, batch)
