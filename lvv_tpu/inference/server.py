@@ -32,7 +32,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..models import greedy_generate
+from ..models import greedy_generate, sample_generate
 
 
 def _buckets_up_to(max_batch: int, multiple: int = 1) -> List[int]:
@@ -51,6 +51,7 @@ class _Request:
     view_valid: np.ndarray   # [6]
     text_ids: np.ndarray     # [T]
     text_len: int
+    max_new_tokens: Optional[int] = None   # per-request cap (<= engine max)
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.perf_counter)
 
@@ -79,7 +80,8 @@ class ServingEngine:
     def __init__(self, model, params, tokenizer=None, *,
                  max_batch: int = 8, max_wait_ms: float = 4.0,
                  max_new_tokens: int = 32, eos_id: Optional[int] = None,
-                 params_decode=None, mesh=None, pipeline_depth: int = 2):
+                 params_decode=None, mesh=None, pipeline_depth: int = 2,
+                 sampling: Optional[dict] = None):
         if eos_id is None:
             if tokenizer is None:
                 raise ValueError("pass eos_id when no tokenizer is given")
@@ -108,6 +110,18 @@ class ServingEngine:
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
         self.pipeline_depth = int(pipeline_depth)
+        # engine-level sampling config (one compiled program per setting):
+        # {"temperature","top_k","top_p","seed"} -> sample_generate; None
+        # -> greedy (reference validation.py:552-580 semantics)
+        self.sampling = dict(sampling) if sampling else None
+        self._rng = None
+        if self.sampling is not None:
+            if params_decode is not None:
+                raise ValueError("sampling mode does not support the int8 "
+                                 "params_decode tree (greedy-only lever)")
+            import jax
+            self._rng = jax.random.PRNGKey(
+                int(self.sampling.pop("seed", 0)))
         self.buckets = _buckets_up_to(self.max_batch, data_par)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -122,18 +136,21 @@ class ServingEngine:
     # ------------------------------------------------------------- public
 
     def submit(self, bev, images, view_valid, text_ids,
-               text_len: int) -> Future:
+               text_len: int, max_new_tokens: Optional[int] = None) -> Future:
         """Enqueue one request; resolves to (token_ids list, text|None).
 
         Arrays are single-sample (no batch dim). All requests must share the
         static shapes the engine was first called with — that is what lets
-        every bucket reuse one compiled program.
+        every bucket reuse one compiled program. `max_new_tokens` caps THIS
+        request's answer (the device still runs the engine-level max; the
+        cap truncates at fulfillment — static shapes stay uniform).
         """
         if self._closed.is_set():
             raise RuntimeError("ServingEngine is closed")
         req = _Request(np.asarray(bev), np.asarray(images),
                        np.asarray(view_valid, bool),
-                       np.asarray(text_ids, np.int32), int(text_len))
+                       np.asarray(text_ids, np.int32), int(text_len),
+                       max_new_tokens=max_new_tokens)
         self._queue.put(req)
         return req.future
 
@@ -262,10 +279,17 @@ class ServingEngine:
         ids = put(np.stack([r.text_ids for r in rows]))
         lens = put(np.array([r.text_len for r in rows], np.int32))
 
-        toks, out_lens = greedy_generate(
-            self.model, self.params, bev, images, valid, ids, lens,
-            max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
-            params_decode=self.params_decode)
+        if self.sampling is not None:
+            self._rng, sub = jax.random.split(self._rng)
+            toks, out_lens = sample_generate(
+                self.model, self.params, sub, bev, images, valid, ids,
+                lens, max_new_tokens=self.max_new_tokens,
+                eos_id=self.eos_id, **self.sampling)
+        else:
+            toks, out_lens = greedy_generate(
+                self.model, self.params, bev, images, valid, ids, lens,
+                max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
+                params_decode=self.params_decode)
         return toks, out_lens, bucket
 
     def _complete(self, batch: List[_Request], result: tuple) -> None:
@@ -290,7 +314,10 @@ class ServingEngine:
             self._stats["latency_s"] += [now - r.t_submit for r in batch]
 
         for i, req in enumerate(batch):
-            ids_out = toks[i][: int(out_lens[i])].tolist()
+            cut = int(out_lens[i])
+            if req.max_new_tokens is not None:
+                cut = min(cut, int(req.max_new_tokens))
+            ids_out = toks[i][:cut].tolist()
             text = (self.tokenizer.decode(ids_out)
                     if self.tokenizer is not None else None)
             req.future.set_result((ids_out, text))

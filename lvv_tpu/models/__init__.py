@@ -27,4 +27,4 @@ from .voxelnext import (Detections, VoxelNeXtBackbone, VoxelNeXtDetector,
                         VoxelNeXtHead, decode_detections)
 from .voxelnext_loss import assign_targets, voxelnext_loss
 from .vqa import (VQABatch, VQAModel, greedy_generate,
-                  prepare_serving_params, sam_grid_side)
+                  prepare_serving_params, sam_grid_side, sample_generate)

@@ -115,6 +115,50 @@ def test_text_api_and_tokenizer(setup):
         eng.close()
 
 
+def test_per_request_token_cap(setup):
+    """max_new_tokens on submit truncates that request's answer only."""
+    cfg, model, params, reqs = setup
+    eng = ServingEngine(model, params, max_batch=4, max_wait_ms=300.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=-1)  # no eos stop
+    try:
+        r = reqs[0]
+        f_full = eng.submit(r["bev"], r["images"], r["view_valid"],
+                            r["text_ids"], r["text_len"])
+        f_cap = eng.submit(r["bev"], r["images"], r["view_valid"],
+                           r["text_ids"], r["text_len"], max_new_tokens=2)
+        full, _ = f_full.result(timeout=300)
+        cap, _ = f_cap.result(timeout=300)
+    finally:
+        eng.close()
+    assert len(full) == NEW_TOKENS
+    assert cap == full[:2]
+
+
+def test_sampling_mode(setup):
+    """Engine-level sampling config routes through sample_generate and is
+    deterministic for a fixed seed."""
+    cfg, model, params, reqs = setup
+    outs = []
+    for _ in range(2):
+        eng = ServingEngine(
+            model, params, max_batch=2, max_wait_ms=5.0,
+            max_new_tokens=NEW_TOKENS, eos_id=2,
+            sampling={"temperature": 0.8, "top_k": 10, "top_p": 0.95,
+                      "seed": 7})
+        try:
+            r = reqs[0]
+            fut = eng.submit(r["bev"], r["images"], r["view_valid"],
+                             r["text_ids"], r["text_len"])
+            outs.append(fut.result(timeout=300)[0])
+        finally:
+            eng.close()
+    assert outs[0] == outs[1]
+    with pytest.raises(ValueError, match="int8"):
+        ServingEngine(model, params, max_batch=2, eos_id=2,
+                      sampling={"temperature": 1.0},
+                      params_decode={"llm": {}})
+
+
 def test_pipelined_vs_unpipelined_same_results(setup):
     """pipeline_depth=2 (dispatch-ahead) must not change any result; it
     only overlaps the host fetch of batch N with the device run of N+1."""
