@@ -32,7 +32,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..models import greedy_generate, sample_generate
+from ..models import (encode_prefix_fn, generate_from_prefix,
+                      greedy_generate, sample_generate)
 
 
 def _buckets_up_to(max_batch: int, multiple: int = 1) -> List[int]:
@@ -52,6 +53,7 @@ class _Request:
     text_ids: np.ndarray     # [T]
     text_len: int
     max_new_tokens: Optional[int] = None   # per-request cap (<= engine max)
+    frame_id: Optional[str] = None         # prefix-cache key
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.perf_counter)
 
@@ -81,7 +83,8 @@ class ServingEngine:
                  max_batch: int = 8, max_wait_ms: float = 4.0,
                  max_new_tokens: int = 32, eos_id: Optional[int] = None,
                  params_decode=None, mesh=None, pipeline_depth: int = 2,
-                 sampling: Optional[dict] = None):
+                 sampling: Optional[dict] = None,
+                 prefix_cache_size: int = 0):
         if eos_id is None:
             if tokenizer is None:
                 raise ValueError("pass eos_id when no tokenizer is given")
@@ -122,12 +125,23 @@ class ServingEngine:
             import jax
             self._rng = jax.random.PRNGKey(
                 int(self.sampling.pop("seed", 0)))
+        # prefix cache: frame_id -> encoded prefix row [P, D] on device.
+        # N questions about one frame pay the (dominant) sensor encode
+        # once; requests without a frame_id always encode.
+        self.prefix_cache_size = int(prefix_cache_size)
+        if self.prefix_cache_size:
+            if mesh is not None or self.sampling is not None:
+                raise ValueError("prefix caching supports the single-device"
+                                 " greedy path only (for now)")
+            from collections import OrderedDict
+            self._prefix_cache: "OrderedDict[str, object]" = OrderedDict()
         self.buckets = _buckets_up_to(self.max_batch, data_par)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "pad_rows": 0,
-                       "batch_sizes": [], "latency_s": []}
+                       "batch_sizes": [], "latency_s": [],
+                       "prefix_hits": 0, "prefix_misses": 0}
         self._closed = threading.Event()
         self._worker = threading.Thread(target=self._serve_loop,
                                         name="lvv-serving", daemon=True)
@@ -136,7 +150,8 @@ class ServingEngine:
     # ------------------------------------------------------------- public
 
     def submit(self, bev, images, view_valid, text_ids,
-               text_len: int, max_new_tokens: Optional[int] = None) -> Future:
+               text_len: int, max_new_tokens: Optional[int] = None,
+               frame_id: Optional[str] = None) -> Future:
         """Enqueue one request; resolves to (token_ids list, text|None).
 
         Arrays are single-sample (no batch dim). All requests must share the
@@ -150,17 +165,20 @@ class ServingEngine:
         req = _Request(np.asarray(bev), np.asarray(images),
                        np.asarray(view_valid, bool),
                        np.asarray(text_ids, np.int32), int(text_len),
-                       max_new_tokens=max_new_tokens)
+                       max_new_tokens=max_new_tokens,
+                       frame_id=frame_id if self.prefix_cache_size else None)
         self._queue.put(req)
         return req.future
 
     def generate(self, question: str, bev, cam_paths=None,
-                 timeout: Optional[float] = None) -> str:
+                 timeout: Optional[float] = None,
+                 frame_id: Optional[str] = None) -> str:
         """Blocking text-level convenience (requires a tokenizer)."""
-        fut = self.submit_text(question, bev, cam_paths)
+        fut = self.submit_text(question, bev, cam_paths, frame_id=frame_id)
         return fut.result(timeout=timeout)[1]
 
-    def submit_text(self, question: str, bev, cam_paths=None) -> Future:
+    def submit_text(self, question: str, bev, cam_paths=None,
+                    frame_id: Optional[str] = None) -> Future:
         if self.tokenizer is None:
             raise ValueError("submit_text requires a tokenizer")
         from ..data.collate import pack_text
@@ -176,7 +194,8 @@ class ServingEngine:
             from ..ops.image import preprocess_views
             u8, valid = load_views_u8(cam_paths)
             images = np.asarray(preprocess_views(jnp.asarray(u8), s))
-        return self.submit(bev, images, valid, ids, length)
+        return self.submit(bev, images, valid, ids, length,
+                           frame_id=frame_id)
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -285,12 +304,86 @@ class ServingEngine:
                 self.model, self.params, sub, bev, images, valid, ids,
                 lens, max_new_tokens=self.max_new_tokens,
                 eos_id=self.eos_id, **self.sampling)
+        elif self.prefix_cache_size:
+            prefix = self._prefixes_for(rows, n, bev, images, valid)
+            toks, out_lens = generate_from_prefix(
+                self.model, self.params, prefix, ids, lens,
+                max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
+                params_decode=self.params_decode)
         else:
             toks, out_lens = greedy_generate(
                 self.model, self.params, bev, images, valid, ids, lens,
                 max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
                 params_decode=self.params_decode)
         return toks, out_lens, bucket
+
+    def _prefixes_for(self, rows, n_real, bev, images, valid):
+        """[bucket] prefix rows, encoding only cache misses.
+
+        Misses (plus every frame_id-less row) batch-encode through the
+        standalone jitted prefix encoder at the same bucket sizes as the
+        generate programs; hits are reused device rows. Encoding a frame
+        once and answering N questions against it turns the dominant
+        sensor-encode cost into ~1/N per answer.
+        """
+        import jax.numpy as jnp
+
+        enc = encode_prefix_fn(self.model)
+        miss_idx = [i for i, r in enumerate(rows)
+                    if r.frame_id is None
+                    or r.frame_id not in self._prefix_cache]
+        # hold hit rows' prefixes now — this batch's inserts could evict
+        # them before assembly when the cache is smaller than the batch
+        held = {r.frame_id: self._prefix_cache[r.frame_id]
+                for i, r in enumerate(rows)
+                if i not in set(miss_idx)}
+        for fid in held:
+            self._prefix_cache.move_to_end(fid)
+        with self._stats_lock:  # over real rows only (pads clone row 0)
+            real_miss = len([i for i in miss_idx if i < n_real])
+            self._stats["prefix_hits"] += n_real - real_miss
+            self._stats["prefix_misses"] += real_miss
+        # dedup misses sharing a frame_id within this batch (pad rows are
+        # literal clones of row 0, so they dedup away here too)
+        first_for_key = {}
+        enc_order = []
+        for i in miss_idx:
+            fid = rows[i].frame_id
+            if fid is not None and fid in first_for_key:
+                continue
+            if fid is not None:
+                first_for_key[fid] = i
+            elif rows[i] is rows[0] and i != 0:
+                continue   # fid-less pad clone of row 0
+            enc_order.append(i)
+        fresh, batch_fid = {}, {}   # batch_fid survives LRU eviction below
+        if enc_order:
+            n = len(enc_order)
+            bucket = next(b for b in self.buckets if b >= n)
+            sel = enc_order + [enc_order[0]] * (bucket - n)
+            new = enc(self.params, bev[jnp.asarray(sel)],
+                      images[jnp.asarray(sel)], valid[jnp.asarray(sel)])
+            fresh = {i: new[j] for j, i in enumerate(enc_order)}
+            for i in enc_order:
+                fid = rows[i].frame_id
+                if fid is not None:
+                    batch_fid[fid] = fresh[i]
+                    self._prefix_cache[fid] = fresh[i]
+                    self._prefix_cache.move_to_end(fid)
+            while len(self._prefix_cache) > self.prefix_cache_size:
+                self._prefix_cache.popitem(last=False)
+        out = []
+        for i, r in enumerate(rows):
+            fid = r.frame_id
+            if fid is not None and fid in batch_fid:
+                out.append(batch_fid[fid])
+            elif fid is not None and fid in held:
+                out.append(held[fid])
+            elif i in fresh:
+                out.append(fresh[i])
+            else:      # fid-less pad clone of row 0
+                out.append(out[0])
+        return jnp.stack(out)
 
     def _complete(self, batch: List[_Request], result: tuple) -> None:
         """Fetch one dispatched batch and resolve its futures."""

@@ -26,5 +26,6 @@ from .vat import NUM_VIEWS, VATBlock, VATLiDAR, VATVision, VisionAdapter
 from .voxelnext import (Detections, VoxelNeXtBackbone, VoxelNeXtDetector,
                         VoxelNeXtHead, decode_detections)
 from .voxelnext_loss import assign_targets, voxelnext_loss
-from .vqa import (VQABatch, VQAModel, greedy_generate,
+from .vqa import (VQABatch, VQAModel, encode_prefix_fn,
+                  generate_from_prefix, greedy_generate,
                   prepare_serving_params, sam_grid_side, sample_generate)

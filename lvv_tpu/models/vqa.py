@@ -164,8 +164,17 @@ class VQAModel(nn.Module):
         Returns (last_logits [B, V], cache)."""
         prefix = self.encode_prefix(batch_bev, images, view_valid,
                                     use_vision, use_lidar)
+        return self.prefill_from_prefix(prefix, prompt_ids, prompt_len,
+                                        cache)
+
+    def prefill_from_prefix(self, prefix, prompt_ids, prompt_len,
+                            cache: KVCache):
+        """Prefill from an ALREADY-ENCODED prefix [B, P, D] (prefix-cache
+        serving path: N questions about one frame encode the sensors once).
+        Returns (last_logits [B, V], cache)."""
         text_emb = self.llm.embed(prompt_ids)
-        embeds = jnp.concatenate([prefix, text_emb], axis=1)
+        embeds = jnp.concatenate([prefix.astype(self.dtype), text_emb],
+                                 axis=1)
         p = prefix.shape[1]
         seq_len = p + prompt_len
         # last_pos gathers the hidden state at the last REAL position per
@@ -220,6 +229,66 @@ def _generate_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
                           axis=1)
         return tokens, lengths
 
+    return jax.jit(impl)
+
+
+@functools.cache
+def _generate_from_prefix_fn(model: "VQAModel", max_new_tokens: int,
+                             eos_id: int, max_cache: int):
+    """Jitted (prefill-from-prefix + scan-decode); the encode stage runs
+    separately (see encode_prefix_fn) so a serving layer can cache and
+    reuse prefixes across questions about the same frame."""
+
+    def impl(params, params_decode, prefix, prompt_ids, prompt_len):
+        b = prompt_ids.shape[0]
+        cache = init_cache(model.cfg.llm, b, max_cache, dtype=model.dtype)
+        last_logits, cache = model.apply(
+            {"params": params}, prefix, prompt_ids, prompt_len, cache,
+            method=VQAModel.prefill_from_prefix)
+        p_dec = params if params_decode is None else params_decode
+
+        def body(state, _):
+            last_logits, cache, done = state
+            nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, eos_id, nxt)
+            logits, cache = model.apply({"params": p_dec}, nxt, cache,
+                                        method=VQAModel.decode_step)
+            done = done | (nxt == eos_id)
+            return (logits, cache, done), nxt
+
+        (_, _, _), tokens = jax.lax.scan(
+            body, (last_logits, cache, jnp.zeros((b,), bool)), None,
+            length=max_new_tokens)
+        tokens = tokens.T
+        not_eos = tokens != eos_id
+        lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1),
+                          axis=1)
+        return tokens, lengths
+
+    return jax.jit(impl)
+
+
+def generate_from_prefix(model: VQAModel, params, prefix, prompt_ids,
+                         prompt_len, *, max_new_tokens: int, eos_id: int,
+                         max_cache: Optional[int] = None,
+                         params_decode=None):
+    """Greedy decode from a precomputed prefix [B, P, D]. Token-identical
+    to greedy_generate when `prefix == encode_prefix(...)` (tested)."""
+    p_static = prefix.shape[1]
+    max_cache = max_cache or (p_static + prompt_ids.shape[1]
+                              + max_new_tokens + 8)
+    fn = _generate_from_prefix_fn(model, max_new_tokens, eos_id, max_cache)
+    return fn(params, params_decode, prefix, prompt_ids, prompt_len)
+
+
+@functools.cache
+def encode_prefix_fn(model: VQAModel):
+    """Jitted standalone prefix encoder: (params, bev, images, view_valid)
+    -> [B, P, D]. One compilation per model; batch sizes compile per
+    bucket exactly like the generate programs."""
+    def impl(params, bev, images, view_valid):
+        return model.apply({"params": params}, bev, images, view_valid,
+                           method=VQAModel.encode_prefix)
     return jax.jit(impl)
 
 

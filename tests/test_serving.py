@@ -115,6 +115,88 @@ def test_text_api_and_tokenizer(setup):
         eng.close()
 
 
+def test_prefix_cache_results_and_hits(setup):
+    """frame_id prefix caching: repeated questions about one frame skip the
+    sensor encode (hit counters prove it) and return the same greedy tokens
+    as the uncached engine."""
+    cfg, model, params, reqs = setup
+    r = reqs[0]
+
+    # uncached reference tokens for this request (single-row bucket)
+    eng0 = ServingEngine(model, params, max_batch=1, max_wait_ms=1.0,
+                         max_new_tokens=NEW_TOKENS, eos_id=2)
+    try:
+        ref = eng0.submit(r["bev"], r["images"], r["view_valid"],
+                          r["text_ids"], r["text_len"]).result(300)[0]
+    finally:
+        eng0.close()
+
+    eng = ServingEngine(model, params, max_batch=1, max_wait_ms=1.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2,
+                        prefix_cache_size=4)
+    try:
+        outs = []
+        for _ in range(3):   # sequential: same frame, cache warm after 1st
+            outs.append(eng.submit(
+                r["bev"], r["images"], r["view_valid"],
+                r["text_ids"], r["text_len"],
+                frame_id="frame-A").result(300)[0])
+        st = eng.stats()
+    finally:
+        eng.close()
+    assert outs[0] == outs[1] == outs[2] == ref
+    assert st["prefix_misses"] == 1
+    assert st["prefix_hits"] == 2
+
+
+def test_prefix_cache_mixed_batch_and_eviction(setup):
+    """Distinct frames in one bucket encode independently; the LRU evicts
+    oldest frames; frame_id-less requests always encode."""
+    cfg, model, params, reqs = setup
+    eng = ServingEngine(model, params, max_batch=4, max_wait_ms=300.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2,
+                        prefix_cache_size=1)
+    try:
+        futs = [eng.submit(reqs[i]["bev"], reqs[i]["images"],
+                           reqs[i]["view_valid"], reqs[i]["text_ids"],
+                           reqs[i]["text_len"],
+                           frame_id=f"f{i}" if i < 2 else None)
+                for i in range(3)]
+        got = [f.result(timeout=300)[0] for f in futs]
+        st = eng.stats()
+    finally:
+        eng.close()
+    assert st["prefix_misses"] == 3 and st["prefix_hits"] == 0
+
+    # must match the uncached engine on the identical bucket-4 batch
+    rows = reqs + [reqs[0]]
+    toks, lens = greedy_generate(
+        model, params,
+        jnp.asarray(np.stack([r["bev"] for r in rows])),
+        jnp.asarray(np.stack([r["images"] for r in rows])),
+        jnp.asarray(np.stack([r["view_valid"] for r in rows])),
+        jnp.asarray(np.stack([r["text_ids"] for r in rows])),
+        jnp.asarray(np.array([r["text_len"] for r in rows], np.int32)),
+        max_new_tokens=NEW_TOKENS, eos_id=2)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for i, ids in enumerate(got):
+        assert ids == toks[i][: int(lens[i])].tolist()
+
+
+def test_prefix_cache_rejects_mesh_and_sampling(setup):
+    from lvv_tpu.parallel import make_mesh
+    from lvv_tpu.config.schema import MeshConfig
+
+    cfg, model, params, _ = setup
+    with pytest.raises(ValueError, match="prefix caching"):
+        ServingEngine(model, params, max_batch=8, eos_id=2,
+                      prefix_cache_size=2,
+                      mesh=make_mesh(MeshConfig(data=4, model=2)))
+    with pytest.raises(ValueError, match="prefix caching"):
+        ServingEngine(model, params, max_batch=2, eos_id=2,
+                      prefix_cache_size=2, sampling={"temperature": 1.0})
+
+
 def test_per_request_token_cap(setup):
     """max_new_tokens on submit truncates that request's answer only."""
     cfg, model, params, reqs = setup

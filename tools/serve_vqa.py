@@ -64,8 +64,12 @@ def make_handler(engine, bev_root: _pathlib.Path):
                 bev_path = bev_root / req["bev_path"]
                 bev = np.load(bev_path).astype(np.float32)
                 t0 = time.perf_counter()
+                # frame_id (default: the bev path) keys the prefix cache
+                # when the server runs with --prefix-cache
                 fut = engine.submit_text(req["question"], bev,
-                                         req.get("cam_paths"))
+                                         req.get("cam_paths"),
+                                         frame_id=req.get(
+                                             "frame_id", req["bev_path"]))
                 _, text = fut.result()
                 self._send(200, {"answer": text,
                                  "latency_s": round(
@@ -91,6 +95,9 @@ def main() -> None:
     p.add_argument("--max-new-tokens", type=int, default=96)
     p.add_argument("--quantize-llm", action="store_true",
                    help="weight-only int8 LLM tree for the decode scan")
+    p.add_argument("--prefix-cache", type=int, default=0, metavar="N",
+                   help="cache N frames' encoded prefixes: repeat "
+                        "questions about a frame skip the sensor encode")
     args = p.parse_args()
 
     from lvv_tpu.inference import ModelLoader
@@ -108,7 +115,7 @@ def main() -> None:
     engine = ServingEngine(
         model, params, loader.tokenizer, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, max_new_tokens=args.max_new_tokens,
-        params_decode=params_decode)
+        params_decode=params_decode, prefix_cache_size=args.prefix_cache)
 
     srv = ThreadingHTTPServer(
         (args.host, args.port),
