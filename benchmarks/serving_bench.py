@@ -145,6 +145,40 @@ def main():
             print(f"engine b<={b}: {n / esec:.2f} frames/s "
                   f"(batches {eng.stats()['batch_sizes']})", flush=True)
 
+        q_per_frame = int(os.environ.get("LVV_BENCH_PREFIX_Q", "0"))
+        if q_per_frame:
+            # multi-question-per-frame workload (evaluation/interactive):
+            # answers/s with the frame prefix cached vs re-encoded
+            from lvv_tpu.inference.server import ServingEngine
+            frames = 4
+            for cache in (0, frames):
+                eng = ServingEngine(
+                    m, params, max_batch=b, max_wait_ms=30.0,
+                    max_new_tokens=NEW_TOKENS, eos_id=-1,
+                    prefix_cache_size=cache)
+                row = dict(bev=np.asarray(bev[0]),
+                           images=np.asarray(images[0]),
+                           view_valid=np.asarray(view_valid[0]),
+                           text_ids=np.asarray(prompt[0]), text_len=t)
+                try:
+                    eng.submit(**row, frame_id="warm").result(timeout=600)
+                    t0 = time.perf_counter()
+                    futs = [eng.submit(**row, frame_id=f"f{f}")
+                            for f in range(frames)
+                            for _ in range(q_per_frame)]
+                    for f_ in futs:
+                        f_.result(timeout=600)
+                    esec = time.perf_counter() - t0
+                finally:
+                    eng.close()
+                na = frames * q_per_frame
+                key = f"prefixQ{q_per_frame}_b{b}_" + \
+                    ("cached" if cache else "uncached")
+                results[key] = {"answers_s": round(na / esec, 3),
+                                "prefix_hits": eng.stats()["prefix_hits"]}
+                outp.write_text(json.dumps(results, indent=1))
+                print(key, results[key], flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -40,7 +40,8 @@ def run_frames(engine, rows, bev_root: pathlib.Path, question: str):
     for r in rows:
         bev = np.load(bev_root / r["bev_path"]).astype(np.float32)
         futs.append(engine.submit_text(r.get("question", question), bev,
-                                       r.get("cam_paths")))
+                                       r.get("cam_paths"),
+                                       frame_id=r["bev_path"]))
     out = []
     for r, f in zip(rows, futs):
         t0 = time.perf_counter()
@@ -81,6 +82,9 @@ def main() -> None:
                    help="paths in frames.json resolve against this")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=96)
+    p.add_argument("--prefix-cache", type=int, default=16,
+                   help="frames of encoded-prefix LRU (0 disables); rows "
+                        "sharing a bev_path encode once")
     p.add_argument("--out", default=None, help="answers JSONL path")
     p.add_argument("--rrd", default=None, help="persist rerun stream")
     args = p.parse_args()
@@ -96,7 +100,8 @@ def main() -> None:
     t0 = time.perf_counter()
     with ServingEngine(model, params, loader.tokenizer,
                        max_batch=args.max_batch,
-                       max_new_tokens=args.max_new_tokens) as engine:
+                       max_new_tokens=args.max_new_tokens,
+                       prefix_cache_size=args.prefix_cache) as engine:
         results = run_frames(engine, rows, bev_root, args.question)
         stats = engine.stats()
     wall = time.perf_counter() - t0
