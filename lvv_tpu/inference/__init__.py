@@ -1,4 +1,5 @@
 """Inference subsystem: checkpoint loading + generation + serving."""
+from .continuous import ContinuousServingEngine
 from .engine import InferenceEngine
 from .loader import ModelLoader
 from .server import ServingEngine

@@ -1,0 +1,129 @@
+"""ContinuousServingEngine: slot-based chunked decode — token parity with
+the fused greedy program, staggered admissions, per-request caps."""
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lvv_tpu import config as C
+from lvv_tpu.data import ByteTokenizer
+from lvv_tpu.inference import ContinuousServingEngine
+from lvv_tpu.models import VQABatch, VQAModel, greedy_generate
+
+NEW_TOKENS = 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = C.override(C.tiny_config(), "model.dtype", "float32")
+    model = VQAModel(cfg.model)
+    c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
+    s = cfg.model.sam.img_size
+    batch = VQABatch(
+        bev=jnp.zeros((1, c, h, w)), images=jnp.zeros((1, 6, 3, s, s)),
+        view_valid=jnp.ones((1, 6), bool),
+        text_ids=jnp.zeros((1, 8), jnp.int32),
+        text_len=jnp.full((1,), 8, jnp.int32),
+        labels=jnp.full((1, 8), -100, jnp.int32),
+        use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    rng = np.random.default_rng(3)
+    reqs = []
+    for i in range(3):
+        reqs.append(dict(
+            bev=rng.normal(size=(c, h, w)).astype(np.float32),
+            images=rng.uniform(-1, 1, (6, 3, s, s)).astype(np.float32),
+            view_valid=np.ones((6,), bool),
+            text_ids=rng.integers(1, 200, (8,)).astype(np.int32),
+            text_len=8 - i))
+    return cfg, model, params, reqs
+
+
+def _expected(model, params, reqs, eos=2, n=NEW_TOKENS):
+    """Fused-program greedy tokens on the bucket-4 padded batch."""
+    rows = reqs + [reqs[0]]
+    toks, lens = greedy_generate(
+        model, params,
+        jnp.asarray(np.stack([r["bev"] for r in rows])),
+        jnp.asarray(np.stack([r["images"] for r in rows])),
+        jnp.asarray(np.stack([r["view_valid"] for r in rows])),
+        jnp.asarray(np.stack([r["text_ids"] for r in rows])),
+        jnp.asarray(np.array([r["text_len"] for r in rows], np.int32)),
+        max_new_tokens=n, eos_id=eos)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    return [toks[i][: int(lens[i])].tolist() for i in range(len(reqs))]
+
+
+def test_burst_matches_fused_program(setup):
+    cfg, model, params, reqs = setup
+    eng = ContinuousServingEngine(model, params, slots=4, chunk_steps=2,
+                                  max_new_tokens=NEW_TOKENS, eos_id=2)
+    try:
+        futs = [eng.submit(r["bev"], r["images"], r["view_valid"],
+                           r["text_ids"], r["text_len"]) for r in reqs]
+        got = [f.result(timeout=600)[0] for f in futs]
+        st = eng.stats()
+    finally:
+        eng.close()
+    assert got == _expected(model, params, reqs)
+    assert st["requests"] == 3
+    assert st["decode_chunks"] >= NEW_TOKENS // 2
+    assert st["mean_occupancy"] > 0
+
+
+def test_staggered_admissions(setup):
+    """A request arriving while others decode is admitted at a chunk
+    boundary and still yields the fused-program tokens."""
+    cfg, model, params, reqs = setup
+    eng = ContinuousServingEngine(model, params, slots=4, chunk_steps=2,
+                                  max_new_tokens=NEW_TOKENS, eos_id=2)
+    try:
+        f0 = eng.submit(reqs[0]["bev"], reqs[0]["images"],
+                        reqs[0]["view_valid"], reqs[0]["text_ids"],
+                        reqs[0]["text_len"])
+        time.sleep(0.5)   # let the first admission/decode start
+        f1 = eng.submit(reqs[1]["bev"], reqs[1]["images"],
+                        reqs[1]["view_valid"], reqs[1]["text_ids"],
+                        reqs[1]["text_len"])
+        f2 = eng.submit(reqs[2]["bev"], reqs[2]["images"],
+                        reqs[2]["view_valid"], reqs[2]["text_ids"],
+                        reqs[2]["text_len"])
+        got = [f.result(timeout=600)[0] for f in (f0, f1, f2)]
+        st = eng.stats()
+    finally:
+        eng.close()
+    assert got == _expected(model, params, reqs)
+    assert st["admission_batches"] >= 2
+
+
+def test_per_request_cap_and_text(setup):
+    cfg, model, params, reqs = setup
+    tk = ByteTokenizer(cfg.model.llm.special_tokens)
+    eng = ContinuousServingEngine(model, params, tk, slots=2,
+                                  chunk_steps=3, max_new_tokens=NEW_TOKENS,
+                                  eos_id=-1)   # never hits eos
+    try:
+        r = reqs[0]
+        full = eng.submit(r["bev"], r["images"], r["view_valid"],
+                          r["text_ids"], r["text_len"]).result(600)
+        capped = eng.submit(r["bev"], r["images"], r["view_valid"],
+                            r["text_ids"], r["text_len"],
+                            max_new_tokens=2).result(600)
+    finally:
+        eng.close()
+    assert len(full[0]) == NEW_TOKENS
+    assert capped[0] == full[0][:2]
+    assert isinstance(full[1], str)
+
+
+def test_closed_rejects(setup):
+    cfg, model, params, reqs = setup
+    eng = ContinuousServingEngine(model, params, slots=2, eos_id=2)
+    eng.close()
+    with pytest.raises(RuntimeError):
+        eng.submit(reqs[0]["bev"], reqs[0]["images"],
+                   reqs[0]["view_valid"], reqs[0]["text_ids"],
+                   reqs[0]["text_len"])
