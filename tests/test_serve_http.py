@@ -96,7 +96,7 @@ def test_vqa_roundtrip_and_concurrent_batching(http_server):
 
     assert set(results) == {0, 1}
     for status, body in results.values():
-        assert status == 200
+        assert status == 200, body     # 500 carries {"error": repr(e)}
         assert isinstance(body["answer"], str)
         assert body["latency_s"] > 0
 
