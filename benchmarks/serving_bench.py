@@ -145,6 +145,33 @@ def main():
             print(f"engine b<={b}: {n / esec:.2f} frames/s "
                   f"(batches {eng.stats()['batch_sizes']})", flush=True)
 
+        if os.environ.get("LVV_BENCH_CONT", "0") == "1":
+            # continuous-batching engine: burst of 4x slots requests;
+            # answers/s + p50 latency (vs the batch-synchronous engine_b)
+            from lvv_tpu.inference.continuous import ContinuousServingEngine
+            eng = ContinuousServingEngine(
+                m, params, slots=b, chunk_steps=8,
+                max_new_tokens=NEW_TOKENS, eos_id=-1)
+            row = dict(bev=np.asarray(bev[0]), images=np.asarray(images[0]),
+                       view_valid=np.asarray(view_valid[0]),
+                       text_ids=np.asarray(prompt[0]), text_len=t)
+            try:
+                eng.submit(**row).result(timeout=600)   # compile warm
+                n = 4 * b
+                t0 = time.perf_counter()
+                for f in [eng.submit(**row) for _ in range(n)]:
+                    f.result(timeout=600)
+                esec = time.perf_counter() - t0
+                st = eng.stats()
+            finally:
+                eng.close()
+            results[f"cont_{b}"] = {
+                "answers_s": round(n / esec, 3),
+                "p50_latency_s": round(st["p50_latency_s"], 4),
+                "mean_occupancy": round(st["mean_occupancy"], 2)}
+            outp.write_text(json.dumps(results, indent=1))
+            print(f"continuous slots={b}:", results[f"cont_{b}"], flush=True)
+
         q_per_frame = int(os.environ.get("LVV_BENCH_PREFIX_Q", "0"))
         if q_per_frame:
             # multi-question-per-frame workload (evaluation/interactive):
