@@ -70,13 +70,19 @@ class ContinuousServingEngine:
     # ---------------------------------------------------------- public API
 
     def submit(self, bev, images, view_valid, text_ids, text_len: int,
-               max_new_tokens: Optional[int] = None) -> Future:
+               max_new_tokens: Optional[int] = None,
+               on_tokens=None) -> Future:
+        """`on_tokens(list_of_new_ids)` streams each decoded chunk's fresh
+        tokens for this request (called from the serve thread as soon as a
+        chunk lands on the host — tokens reach the caller `chunk_steps`
+        at a time instead of after the full answer)."""
         if self._closed.is_set():
             raise RuntimeError("engine is closed")
         req = _Request(np.asarray(bev), np.asarray(images),
                        np.asarray(view_valid, bool),
                        np.asarray(text_ids, np.int32), int(text_len),
                        max_new_tokens=max_new_tokens)
+        req.on_tokens = on_tokens
         self._queue.put(req)
         return req.future
 
@@ -276,15 +282,23 @@ class ContinuousServingEngine:
                 cap = min(self.max_new_tokens,
                           req.max_new_tokens or self.max_new_tokens)
                 finished = False
+                fresh = []
                 for tok in toks[slot]:
                     t = int(tok)
                     if t == self.eos_id:
                         finished = True
                         break
                     out.append(t)
+                    fresh.append(t)
                     if len(out) >= cap:
                         finished = True
                         break
+                cb = getattr(req, "on_tokens", None)
+                if cb is not None and fresh:
+                    try:
+                        cb(fresh)
+                    except Exception:
+                        pass    # a broken stream consumer must not kill serving
                 if finished:
                     text = (self.tokenizer.decode(out)
                             if self.tokenizer is not None else None)

@@ -119,6 +119,25 @@ def test_per_request_cap_and_text(setup):
     assert isinstance(full[1], str)
 
 
+def test_streaming_callback(setup):
+    """on_tokens delivers each chunk's fresh ids; concatenation equals the
+    final answer, and chunks arrive at most chunk_steps at a time."""
+    cfg, model, params, reqs = setup
+    eng = ContinuousServingEngine(model, params, slots=2, chunk_steps=2,
+                                  max_new_tokens=NEW_TOKENS, eos_id=-1)
+    chunks = []
+    try:
+        r = reqs[0]
+        ids, _ = eng.submit(r["bev"], r["images"], r["view_valid"],
+                            r["text_ids"], r["text_len"],
+                            on_tokens=chunks.append).result(600)
+    finally:
+        eng.close()
+    assert [t for c in chunks for t in c] == ids
+    assert len(chunks) >= 2
+    assert all(len(c) <= 2 for c in chunks)
+
+
 def test_closed_rejects(setup):
     cfg, model, params, reqs = setup
     eng = ContinuousServingEngine(model, params, slots=2, eos_id=2)

@@ -64,12 +64,13 @@ def make_handler(engine, bev_root: _pathlib.Path):
                 bev_path = bev_root / req["bev_path"]
                 bev = np.load(bev_path).astype(np.float32)
                 t0 = time.perf_counter()
-                # frame_id (default: the bev path) keys the prefix cache
-                # when the server runs with --prefix-cache
+                kw = {}
+                if getattr(engine, "prefix_cache_size", 0):
+                    # frame_id (default: the bev path) keys the prefix
+                    # cache when the server runs with --prefix-cache
+                    kw["frame_id"] = req.get("frame_id", req["bev_path"])
                 fut = engine.submit_text(req["question"], bev,
-                                         req.get("cam_paths"),
-                                         frame_id=req.get(
-                                             "frame_id", req["bev_path"]))
+                                         req.get("cam_paths"), **kw)
                 _, text = fut.result()
                 self._send(200, {"answer": text,
                                  "latency_s": round(
@@ -98,6 +99,12 @@ def main() -> None:
     p.add_argument("--prefix-cache", type=int, default=0, metavar="N",
                    help="cache N frames' encoded prefixes: repeat "
                         "questions about a frame skip the sensor encode")
+    p.add_argument("--engine", choices=("batch", "continuous"),
+                   default="batch",
+                   help="batch = bucket-synchronous ServingEngine; "
+                        "continuous = slot-slab rolling admissions")
+    p.add_argument("--chunk-steps", type=int, default=8,
+                   help="continuous engine: decode tokens per chunk")
     args = p.parse_args()
 
     from lvv_tpu.inference import ModelLoader
@@ -112,10 +119,20 @@ def main() -> None:
         from lvv_tpu.models import prepare_serving_params
         params_decode = prepare_serving_params(params)
 
-    engine = ServingEngine(
-        model, params, loader.tokenizer, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms, max_new_tokens=args.max_new_tokens,
-        params_decode=params_decode, prefix_cache_size=args.prefix_cache)
+    if args.engine == "continuous":
+        from lvv_tpu.inference import ContinuousServingEngine
+        engine = ContinuousServingEngine(
+            model, params, loader.tokenizer, slots=args.max_batch,
+            chunk_steps=args.chunk_steps,
+            max_new_tokens=args.max_new_tokens,
+            params_decode=params_decode)
+    else:
+        engine = ServingEngine(
+            model, params, loader.tokenizer, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            max_new_tokens=args.max_new_tokens,
+            params_decode=params_decode,
+            prefix_cache_size=args.prefix_cache)
 
     srv = ThreadingHTTPServer(
         (args.host, args.port),
