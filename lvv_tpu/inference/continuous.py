@@ -34,7 +34,8 @@ import numpy as np
 
 from ..models import VQAModel
 from ..models.vqa import _prefix_len
-from .server import _Request, _buckets_up_to
+from .server import _Request, _buckets_up_to, _resolve, \
+    _text_request_arrays
 
 
 class ContinuousServingEngine:
@@ -89,19 +90,8 @@ class ContinuousServingEngine:
     def submit_text(self, question: str, bev, cam_paths=None) -> Future:
         if self.tokenizer is None:
             raise ValueError("submit_text requires a tokenizer")
-        from ..data.collate import pack_text
-        cfg = self.model.cfg
-        s = cfg.sam.img_size
-        ids, _, length, _ = pack_text(self.tokenizer, question, None,
-                                      max_prompt=128, max_answer=0)
-        images = np.zeros((6, 3, s, s), np.float32)
-        valid = np.zeros((6,), bool)
-        if cam_paths is not None and any(p for p in cam_paths):
-            import jax.numpy as jnp
-            from ..data.collate import load_views_u8
-            from ..ops.image import preprocess_views
-            u8, valid = load_views_u8(cam_paths)
-            images = np.asarray(preprocess_views(jnp.asarray(u8), s))
+        images, valid, ids, length = _text_request_arrays(
+            self.model.cfg, self.tokenizer, question, cam_paths)
         return self.submit(bev, images, valid, ids, length)
 
     def generate(self, question: str, bev, cam_paths=None,
@@ -125,8 +115,8 @@ class ContinuousServingEngine:
         self._worker.join(timeout=timeout)
         while True:
             try:
-                self._queue.get_nowait().future.set_exception(
-                    RuntimeError("engine closed"))
+                _resolve(self._queue.get_nowait().future,
+                         exc=RuntimeError("engine closed"))
             except queue.Empty:
                 break
 
@@ -187,8 +177,11 @@ class ContinuousServingEngine:
             return cache, logits, toks.T     # toks [S, chunk]
 
         self._prefill = jax.jit(prefill)
-        self._insert = jax.jit(insert)
-        self._decode_chunk = jax.jit(decode_chunk)
+        # donate the slab (and its logits row) so XLA aliases input to
+        # output instead of holding two full KV slabs per chunk/admission
+        self._insert = jax.jit(insert, donate_argnums=(0, 1))
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1, 2))
+        self._prompt_width = int(prompt_width)
         self._p_dec = p_dec
         self._init_cache = lambda: init_cache(
             model.cfg.llm, self.slots, max_cache, dtype=model.dtype)
@@ -213,15 +206,25 @@ class ContinuousServingEngine:
         except Exception as e:   # trace/device failure -> fail these admits
             for r in admits:
                 if not r.future.done():
-                    r.future.set_exception(e)
+                    _resolve(r.future, exc=e)
             return slab, logits_slab, {}
 
     def _admit_rows(self, admits, free, slab, logits_slab):
         import jax.numpy as jnp
         if not self._jit_ready:
             self._build_programs(admits[0].text_ids.shape[0])
+        if slab is None:
+            # first successful admission, or re-init after a failed one
+            # (a failed first prefill must not strand slab=None forever)
             slab = self._init_cache()
             # logits width discovered from the first prefill below
+        for r in admits:
+            if r.text_ids.shape[0] != self._prompt_width:
+                raise ValueError(
+                    f"prompt width {r.text_ids.shape[0]} != engine width "
+                    f"{self._prompt_width}: all requests must share the "
+                    f"static shapes the first request compiled with "
+                    f"(wider prompts would silently overflow the KV slab)")
 
         n = len(admits)
         bucket = next(b for b in self.admit_buckets if b >= n)
@@ -269,9 +272,21 @@ class ContinuousServingEngine:
             done = np.ones((self.slots,), bool)
             for slot in active:
                 done[slot] = False
-            slab, logits_slab, toks = self._decode_chunk(
-                self._p_dec, slab, logits_slab, jnp.asarray(done))
-            toks = np.asarray(toks)      # host sync once per chunk
+            try:
+                slab, logits_slab, toks = self._decode_chunk(
+                    self._p_dec, slab, logits_slab, jnp.asarray(done))
+                toks = np.asarray(toks)  # host sync once per chunk
+            except Exception as e:
+                # a device/runtime failure mid-decode must not kill the
+                # worker (futures would hang forever); fail the in-flight
+                # requests and rebuild the slab for the next admissions
+                # (donated buffers are invalid after a failed call)
+                for slot, (req, _out) in list(active.items()):
+                    _resolve(req.future, exc=e)
+                active.clear()
+                slab = None
+                logits_slab = None
+                continue
             with self._stats_lock:
                 self._stats["decode_chunks"] += 1
                 self._stats["occupancy"].append(len(active))
@@ -279,8 +294,9 @@ class ContinuousServingEngine:
             now = time.perf_counter()
             for slot in list(active):
                 req, out = active[slot]
-                cap = min(self.max_new_tokens,
-                          req.max_new_tokens or self.max_new_tokens)
+                cap = (min(self.max_new_tokens, req.max_new_tokens)
+                       if req.max_new_tokens is not None
+                       else self.max_new_tokens)
                 finished = False
                 fresh = []
                 for tok in toks[slot]:
@@ -304,5 +320,5 @@ class ContinuousServingEngine:
                             if self.tokenizer is not None else None)
                     with self._stats_lock:
                         self._stats["latency_s"].append(now - req.t_submit)
-                    req.future.set_result((out, text))
+                    _resolve(req.future, (out, text))
                     del active[slot]

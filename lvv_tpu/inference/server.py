@@ -45,6 +45,37 @@ def _buckets_up_to(max_batch: int, multiple: int = 1) -> List[int]:
     return out
 
 
+def _text_request_arrays(model_cfg, tokenizer, question: str, cam_paths,
+                         max_prompt: int = 128):
+    """question/camera paths -> (images, valid, ids, length) — the shared
+    text-level submit path of both serving engines."""
+    s = model_cfg.sam.img_size
+    from ..data.collate import pack_text
+    ids, _, length, _ = pack_text(tokenizer, question, None,
+                                  max_prompt=max_prompt, max_answer=0)
+    images = np.zeros((6, 3, s, s), np.float32)
+    valid = np.zeros((6,), bool)
+    if cam_paths is not None and any(p for p in cam_paths):
+        import jax.numpy as jnp
+        from ..data.collate import load_views_u8
+        from ..ops.image import preprocess_views
+        u8, valid = load_views_u8(cam_paths)
+        images = np.asarray(preprocess_views(jnp.asarray(u8), s))
+    return images, valid, ids, length
+
+
+def _resolve(future: Future, result=None, exc=None) -> None:
+    """set_result/set_exception that survives a caller having cancelled the
+    future (InvalidStateError would otherwise kill the serve thread)."""
+    try:
+        if exc is not None:
+            future.set_exception(exc)
+        else:
+            future.set_result(result)
+    except Exception:
+        pass   # future was cancelled; drop the result
+
+
 @dataclass
 class _Request:
     bev: np.ndarray          # [C, H, W]
@@ -181,19 +212,8 @@ class ServingEngine:
                     frame_id: Optional[str] = None) -> Future:
         if self.tokenizer is None:
             raise ValueError("submit_text requires a tokenizer")
-        from ..data.collate import pack_text
-        cfg = self.model.cfg
-        s = cfg.sam.img_size
-        ids, _, length, _ = pack_text(self.tokenizer, question, None,
-                                      max_prompt=128, max_answer=0)
-        images = np.zeros((6, 3, s, s), np.float32)
-        valid = np.zeros((6,), bool)
-        if cam_paths is not None and any(p for p in cam_paths):
-            import jax.numpy as jnp
-            from ..data.collate import load_views_u8
-            from ..ops.image import preprocess_views
-            u8, valid = load_views_u8(cam_paths)
-            images = np.asarray(preprocess_views(jnp.asarray(u8), s))
+        images, valid, ids, length = _text_request_arrays(
+            self.model.cfg, self.tokenizer, question, cam_paths)
         return self.submit(bev, images, valid, ids, length,
                            frame_id=frame_id)
 
@@ -216,7 +236,7 @@ class ServingEngine:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            req.future.set_exception(RuntimeError("engine closed"))
+            _resolve(req.future, exc=RuntimeError("engine closed"))
 
     def __enter__(self):
         return self
@@ -276,7 +296,7 @@ class ServingEngine:
             except Exception as e:  # dispatch/trace errors -> this batch
                 for req in batch:
                     if not req.future.done():
-                        req.future.set_exception(e)
+                        _resolve(req.future, exc=e)
 
     def _dispatch(self, batch: List[_Request]):
         """Launch one bucket program; returns device futures (non-blocking)."""
@@ -394,7 +414,7 @@ class ServingEngine:
         except Exception as e:
             for req in batch:
                 if not req.future.done():
-                    req.future.set_exception(e)
+                    _resolve(req.future, exc=e)
             return
 
         n = len(batch)
@@ -413,4 +433,4 @@ class ServingEngine:
             ids_out = toks[i][:cut].tolist()
             text = (self.tokenizer.decode(ids_out)
                     if self.tokenizer is not None else None)
-            req.future.set_result((ids_out, text))
+            _resolve(req.future, (ids_out, text))

@@ -120,6 +120,10 @@ def main() -> None:
         params_decode = prepare_serving_params(params)
 
     if args.engine == "continuous":
+        if args.prefix_cache:
+            raise SystemExit("--prefix-cache is only supported by "
+                             "--engine batch (the continuous engine does "
+                             "not cache prefixes yet)")
         from lvv_tpu.inference import ContinuousServingEngine
         engine = ContinuousServingEngine(
             model, params, loader.tokenizer, slots=args.max_batch,
