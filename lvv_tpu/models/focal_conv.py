@@ -30,18 +30,50 @@ from .layers import Dense
 
 
 class FocalSparseConv(nn.Module):
-    """subm conv with learned dilation; returns (out, center_importance)."""
+    """subm conv with learned dilation; returns (out, center_importance).
+
+    `use_img=True` is the reference's multimodal mode
+    (focal_sparse_conv.py:51-113,203-224): per-voxel image features are
+    gathered at the voxel centers' camera projections, concatenated into
+    the importance prediction, and summed into the conv output
+    (fuse_sum). Pass `image_feat` ([H, W, C] — e.g. a
+    models.semseg.PyramidFeat2D layer, C must equal out_ch for the
+    post-conv sum), `proj` ([3, 4] combined lidar->pixel matrix),
+    `voxel_size`/`pc_range`, and the tensor's `stride`.
+    """
     out_ch: int
     kernel: int = 3
     spawn: int = 256          # new active sites added (fixed top-K)
+    use_img: bool = False
 
     @nn.compact
-    def __call__(self, st: SparseTensor) -> Tuple[SparseTensor, jax.Array]:
+    def __call__(self, st: SparseTensor, image_feat=None, proj=None,
+                 voxel_size=None, pc_range=None,
+                 stride: int = 1) -> Tuple[SparseTensor, jax.Array]:
         v = st.ids.shape[0]
         offs = _offsets(self.kernel, ndim2d=False)
         k = offs.shape[0]
+        imp_in = st.features
+        if self.use_img:
+            from .semseg import gather_image_features, \
+                project_voxels_to_image
+            if image_feat is None or proj is None:
+                raise ValueError("use_img=True needs image_feat and proj")
+
+            def img_at(ids, valid):
+                cs = delinearize(ids, st.grid)
+                uv, infront = project_voxels_to_image(
+                    cs, voxel_size, pc_range, proj, stride)
+                return gather_image_features(image_feat, uv,
+                                             infront & valid)
+
+            # importance sees image evidence too (reference
+            # construct_multimodal_features concat, :105-108)
+            imp_in = jnp.concatenate(
+                [img_at(st.ids, st.valid).astype(st.features.dtype),
+                 st.features], axis=-1)
         imp = jax.nn.sigmoid(
-            Dense(k, name="importance")(st.features).astype(jnp.float32))
+            Dense(k, name="importance")(imp_in).astype(jnp.float32))
         center_idx = k // 2
         imp_center = imp[:, center_idx]
 
@@ -97,7 +129,12 @@ class FocalSparseConv(nn.Module):
             (k, st.features.shape[1], self.out_ch))
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
         out = submanifold_conv(expanded, w, b, kernel=self.kernel)
-        f = nn.relu(nn.LayerNorm(name="ln")(out.features))
+        feats = out.features
+        if self.use_img:
+            # fuse_sum on the EXPANDED set (reference re-gathers at the
+            # output indices, forward :218-219)
+            feats = feats + img_at(out.ids, out.valid).astype(feats.dtype)
+        f = nn.relu(nn.LayerNorm(name="ln")(feats))
         f = jnp.where(out.valid[:, None], f, 0.0).astype(out.features.dtype)
         return SparseTensor(out.ids, f, out.grid), imp_center
 

@@ -1,0 +1,105 @@
+"""Multimodal focal-conv image branch: ResNet feature trunk, pyramid
+channel reduce, voxel->pixel projection math, and image-fused focal conv
+(reference focal_sparse_conv/SemanticSeg/* + focal_sparse_conv.py use_img
+path)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lvv_tpu.models.semseg import (BasicBlock2D, PyramidFeat2D,
+                                   ResNetFeatures, gather_image_features,
+                                   project_voxels_to_image)
+
+
+def test_resnet_layer1_stride_and_channels():
+    m = ResNetFeatures(layers_out=("layer1",))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert set(out) == {"layer1"}
+    assert out["layer1"].shape == (1, 16, 16, 256)   # stride 4, 64*4 ch
+
+
+def test_resnet_two_layers():
+    m = ResNetFeatures(layers_out=("layer1", "layer2"))
+    x = jnp.zeros((1, 64, 64, 3))
+    out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert out["layer2"].shape == (1, 8, 8, 512)     # stride 8, 128*4 ch
+
+
+def test_pyramid_channel_reduce():
+    m = PyramidFeat2D(feat_layers=("layer1",), reduce_out=(32,))
+    x = jnp.zeros((1, 32, 32, 3))
+    out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert out["layer1_feat2d"].shape == (1, 8, 8, 32)
+
+
+def test_projection_math():
+    """Identity-ish camera: x right (u), y down (v), z forward (depth)."""
+    proj = jnp.asarray([[1.0, 0, 0, 0],
+                        [0, 1.0, 0, 0],
+                        [0, 0, 1.0, 0]])
+    coords = jnp.asarray([[4, 6, 2],     # center (2.0, 3.0, 1.0) -> (2, 3)
+                          [0, 0, 0]])    # center (0, 0, 0) -> behind
+    uv, valid = project_voxels_to_image(
+        coords, voxel_size=(0.5, 0.5, 0.5), pc_range=(0, 0, 0, 1, 1, 1),
+        proj=proj)
+    assert uv[0].tolist() == [2, 3]
+    assert bool(valid[0]) and not bool(valid[1])    # z=0 is behind
+
+
+def test_gather_zero_fills_out_of_image():
+    img = jnp.arange(2 * 3 * 4, dtype=jnp.float32).reshape(2, 3, 4)
+    uv = jnp.asarray([[1, 0], [5, 0], [0, 9]])      # in, u-oob, v-oob
+    valid = jnp.asarray([True, True, True])
+    g = gather_image_features(img, uv, valid)
+    np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(img[0, 1]))
+    assert float(jnp.abs(g[1]).sum()) == 0
+    assert float(jnp.abs(g[2]).sum()) == 0
+
+
+def test_focal_conv_use_img_fuses():
+    """Image-fused focal conv runs, and the image actually changes both
+    the importance and the output features (gradient flows from img)."""
+    from lvv_tpu.models.focal_conv import FocalSparseConv
+    from lvv_tpu.ops.sparse import SparseTensor, linearize
+
+    rng = np.random.default_rng(0)
+    grid = (8, 8, 4)
+    coords = np.stack(np.meshgrid(np.arange(4), np.arange(4), [1],
+                                  indexing="ij"), -1).reshape(-1, 3)
+    ids = linearize(jnp.asarray(coords, jnp.int32), grid)
+    order = jnp.argsort(ids)
+    feats = jnp.asarray(rng.normal(size=(len(coords), 8)), jnp.float32)
+    st = SparseTensor(ids[order], feats[order], grid)
+
+    proj = jnp.asarray([[4.0, 0, 0, 0], [0, 4.0, 0, 0], [0, 0, 1.0, 0.5]])
+    img_a = jnp.asarray(rng.normal(size=(16, 16, 8)), jnp.float32)
+    vs, pr = (1.0, 1.0, 1.0), (0, 0, 0, 8, 8, 4)
+
+    m = FocalSparseConv(out_ch=8, spawn=16, use_img=True)
+    params = m.init(jax.random.PRNGKey(1), st, img_a, proj, vs, pr)
+    out_a, imp_a = m.apply(params, st, img_a, proj, vs, pr)
+    out_b, imp_b = m.apply(params, st, img_a * 0.0, proj, vs, pr)
+    assert out_a.features.shape[0] == st.ids.shape[0] + 16
+    assert not np.allclose(np.asarray(imp_a), np.asarray(imp_b))
+    assert not np.allclose(np.asarray(out_a.features),
+                           np.asarray(out_b.features))
+
+    g = jax.grad(lambda im: jnp.sum(
+        m.apply(params, st, im, proj, vs, pr)[0].features ** 2))(img_a)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_focal_conv_use_img_requires_inputs():
+    from lvv_tpu.models.focal_conv import FocalSparseConv
+    from lvv_tpu.ops.sparse import SparseTensor, linearize
+
+    grid = (4, 4, 2)
+    ids = linearize(jnp.asarray([[1, 1, 1]], jnp.int32), grid)
+    st = SparseTensor(ids, jnp.ones((1, 4)), grid)
+    m = FocalSparseConv(out_ch=4, spawn=4, use_img=True)
+    with pytest.raises(ValueError, match="use_img"):
+        m.init(jax.random.PRNGKey(0), st)
