@@ -170,6 +170,12 @@ class VoxelNeXtConfig:
     # "ln" (shape-stable default) or "bn" (masked-moment BatchNorm matching
     # the reference norm_fn — required to load spconv-trained checkpoints)
     norm: str = "ln"
+    # VoxelBackBone8xFocal trunk (reference spconv_backbone_focal.py):
+    # focal convs close stages 1-3; focal_use_img adds the camera branch
+    # (models/semseg.py) fused into importance prediction + conv output
+    focal: bool = False
+    focal_use_img: bool = False
+    focal_spawn: int = 128
     num_classes: int = 10
     class_names: Tuple[str, ...] = (
         "car", "truck", "construction_vehicle", "bus", "trailer",

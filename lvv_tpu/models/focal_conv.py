@@ -155,3 +155,78 @@ def focal_importance_loss(imp_center: jax.Array, centers: jax.Array,
     focal = a_t * (1 - p_t) ** gamma * ce
     n = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(focal * valid) / n
+
+
+class FocalMultiScaleBackbone3D(nn.Module):
+    """VoxelBackBone8xFocal equivalent (reference spconv_backbone_focal.py
+    :101-224): the multi-scale sparse trunk with a focal conv closing
+    stages 1-3 (learned dilation where it matters) and, with `use_img`, a
+    multimodal focal conv right after the input stage whose importance
+    sees camera features gathered at voxel projections.
+
+    Returns (stages [stride 1/2/4/8], aux) where aux is a list of
+    (imp_center, metric centers, valid) tuples for focal_importance_loss
+    (the reference accumulates loss_box_of_pts the same way).
+    """
+    cfg: "VoxelNeXtConfig"
+    capacity: int
+    use_img: bool = False
+    spawn: int = 256
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, image_feat=None, proj=None,
+                 voxel_size=None, pc_range=None):
+        from ..ops.sparse import build_subm_rulebook
+        from .voxelnext import SparseBasicBlock, SparseConvLayer
+
+        def centers_of(s, stride):
+            cs = delinearize(s.ids, s.grid).astype(jnp.float32)
+            vs = jnp.asarray(voxel_size, jnp.float32) * stride
+            lo = jnp.asarray(pc_range[:3], jnp.float32)
+            return cs * vs[None] + lo[None]
+
+        chs = self.cfg.channels[:4]
+        cap = self.capacity
+        aux = []
+        rb = build_subm_rulebook(st)
+        st = SparseConvLayer(chs[0], name="conv_input")(st, rb)
+        if self.use_img:
+            pre = st   # imp rows align with the conv INPUT tensor
+            st, imp = FocalSparseConv(
+                chs[0], spawn=self.spawn, use_img=True,
+                name="focal_multimodal")(pre, image_feat, proj,
+                                         voxel_size, pc_range, 1)
+            aux.append((imp, centers_of(pre, 1), pre.valid))
+        st = SparseBasicBlock(chs[0], name="res1")(
+            st, build_subm_rulebook(st))
+        pre = st
+        st, imp = FocalSparseConv(chs[0], spawn=self.spawn,
+                                  name="focal1")(pre)
+        aux.append((imp, centers_of(pre, 1), pre.valid))
+        stages = [st]
+        sched = getattr(self.cfg, "capacity_schedule", None)
+        for i, ch in enumerate(chs[1:], start=1):
+            cap = sched[i - 1] if sched and i - 1 < len(sched) else \
+                max(cap * 3 // 4, 1024)
+            st = SparseConvLayer(ch, subm=False, stride=2, out_capacity=cap,
+                                 name=f"down{i}")(st)
+            st = SparseBasicBlock(ch, name=f"res{i + 1}")(
+                st, build_subm_rulebook(st))
+            if i < 3:   # reference: focal conv in conv1..conv3 only
+                pre = st
+                st, imp = FocalSparseConv(ch, spawn=self.spawn,
+                                          name=f"focal{i + 1}")(pre)
+                aux.append((imp, centers_of(pre, 2 ** i), pre.valid))
+            stages.append(st)
+        return stages, aux
+
+
+def focal_aux_loss(aux, gt_boxes, gt_labels, gt_mask,
+                   weight: float = 1.0) -> jax.Array:
+    """Sum of the per-focal-conv importance losses (reference
+    loss_box_of_pts accumulation across SparseSequentialBatchdict)."""
+    total = 0.0
+    for imp, centers, valid in aux:
+        total = total + focal_importance_loss(imp, centers, valid,
+                                              gt_boxes, gt_mask)
+    return weight * total

@@ -122,13 +122,45 @@ class VoxelRCNNDetector(nn.Module):
                                 self.vox_cfg.voxel_size)
 
     @nn.compact
-    def __call__(self, points: jax.Array, num_points: jax.Array):
+    def __call__(self, points: jax.Array, num_points: jax.Array,
+                 image: jax.Array = None, proj: jax.Array = None):
         grid = self.voxel_grid()
         vox = voxelize_mean(points, num_points, grid,
                             max_voxels=self.vox_cfg.max_voxels)
         st = from_voxels(vox.coords, vox.features, grid.grid_size)
-        stages = MultiScaleBackbone3D(self.det_cfg, self.vox_cfg.max_voxels,
-                                      name="backbone3d")(st)
+        focal_aux = []
+        if getattr(self.det_cfg, "focal", False):
+            # VoxelBackBone8xFocal trunk (reference voxel_rcnn_car_focal*
+            # configs); focal_use_img adds the camera branch — pass the
+            # RGB image [H, W, 3] and the combined [3, 4] lidar->pixel
+            # matrix (KITTI: P2 @ R0_rect @ Tr_velo_to_cam)
+            from .focal_conv import FocalMultiScaleBackbone3D
+            use_img = getattr(self.det_cfg, "focal_use_img", False) \
+                and image is not None
+            image_feat = None
+            if use_img:
+                from .semseg import PyramidFeat2D
+                image_feat = PyramidFeat2D(
+                    feat_layers=("layer1",),
+                    reduce_out=(self.det_cfg.channels[0],),
+                    name="semseg")(image[None])[
+                        "layer1_feat2d"][0]
+                # layer1 sits at stride 4: scale the pixel rows of the
+                # projection so voxels land in feature-map coordinates
+                # (the reference instead upsamples features to full res,
+                # focal_sparse_conv.py:72-73 — same mapping, fewer bytes)
+                proj = proj * jnp.asarray([[0.25], [0.25], [1.0]],
+                                          proj.dtype)
+            stages, focal_aux = FocalMultiScaleBackbone3D(
+                self.det_cfg, self.vox_cfg.max_voxels, use_img=use_img,
+                spawn=getattr(self.det_cfg, "focal_spawn", 128),
+                name="backbone3d")(
+                    st, image_feat, proj,
+                    self.vox_cfg.voxel_size, self.vox_cfg.point_range)
+        else:
+            stages = MultiScaleBackbone3D(
+                self.det_cfg, self.vox_cfg.max_voxels,
+                name="backbone3d")(st)
         bev = height_compression(stages[-1])
         bev = BaseBEVBackbone(layer_channels=(64, 128),
                               layer_strides=(1, 2),
@@ -158,7 +190,7 @@ class VoxelRCNNDetector(nn.Module):
         return {"preds": preds, "anchors": jnp.asarray(anchors),
                 "anchor_cls": jnp.asarray(acls), "bev_dense": bev,
                 "proposals": proposals, "roi_preds": roi_preds,
-                "detections": detections}
+                "detections": detections, "focal_aux": focal_aux}
 
     def detect(self, points, num_points) -> Detections:
         return self(points, num_points)["detections"]
@@ -174,4 +206,11 @@ class VoxelRCNNDetector(nn.Module):
         tgt = proposal_targets(out["proposals"].boxes[:, :7], gt_boxes,
                                gt_mask)
         rcnn_loss, rstats = roi_head_loss(out["roi_preds"], tgt)
-        return rpn_loss + rcnn_loss, {**stats, **rstats}
+        total = rpn_loss + rcnn_loss
+        if out.get("focal_aux"):
+            from .focal_conv import focal_aux_loss
+            fl = focal_aux_loss(out["focal_aux"], gt_boxes, gt_labels,
+                                gt_mask)
+            total = total + fl
+            rstats = {**rstats, "loss_box_of_pts": fl}
+        return total, {**stats, **rstats}

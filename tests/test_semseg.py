@@ -93,6 +93,48 @@ def test_focal_conv_use_img_fuses():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_voxelrcnn_focal_multimodal_assembly():
+    """The registered VoxelRCNN with the focal trunk + camera branch
+    (reference kitti_models/voxel_rcnn_car_focal_multimodal.yaml):
+    forward, detections, and a finite loss incl. loss_box_of_pts with
+    gradients reaching the image branch."""
+    import dataclasses
+    from lvv_tpu.config import tiny_config
+    from lvv_tpu.models.registry import build_detector
+
+    cfg = tiny_config()
+    det_cfg = dataclasses.replace(cfg.model.voxelnext, focal=True,
+                                  focal_use_img=True, focal_spawn=16)
+    det = build_detector("VoxelRCNN", det_cfg, cfg.voxelize)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-7.5, 7.5, (128, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2.5, 0.5, 128)
+    image = jnp.asarray(rng.uniform(size=(32, 32, 3)), jnp.float32)
+    proj = jnp.asarray([[2.0, 0, 0, 16.0],
+                        [0, 2.0, 0, 16.0],
+                        [0, 0, 1.0, 10.0]])   # everything in front
+    args = (jnp.asarray(pts), jnp.int32(128), image, proj)
+    params = det.init(jax.random.PRNGKey(0), *args)
+    out = det.apply(params, *args)
+    assert len(out["focal_aux"]) == 4        # multimodal + focal1..3
+    assert np.isfinite(np.asarray(out["detections"].boxes)).all()
+
+    gt = jnp.zeros((4, 9)).at[0].set(
+        jnp.asarray([1.0, 2.0, -1.0, 4.0, 2.0, 1.5, 0.3, 0, 0]))
+    gm = jnp.zeros((4,), bool).at[0].set(True)
+
+    def loss_fn(p):
+        o = det.apply(p, *args)
+        loss, stats = det.loss(o, gt, jnp.zeros((4,), jnp.int32), gm)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    g_img = grads["params"]["semseg"]
+    leaves = jax.tree_util.tree_leaves(g_img)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
 def test_focal_conv_use_img_requires_inputs():
     from lvv_tpu.models.focal_conv import FocalSparseConv
     from lvv_tpu.ops.sparse import SparseTensor, linearize
