@@ -116,6 +116,18 @@ def main():
         print(f"batch {b}: {sec*1e3:.1f} ms -> {b/sec:.2f} frames/s",
               flush=True)
 
+        # engine modes ingest the PRODUCT wire format: raw uint8 camera
+        # frames + f16 BEV (~25 MB/frame vs 92 MB preprocessed f32) —
+        # through the axon relay (~40 MB/s host->device) the ingest link,
+        # not the chip, bounds engine throughput, exactly as a saturated
+        # serving host's NIC would; the raw rows above measure the
+        # device-resident ceiling instead
+        row_lean = dict(
+            bev=np.asarray(bev[0], np.float16),
+            images=rng.integers(0, 256, (6, s, s, 3), dtype=np.uint8),
+            view_valid=np.asarray(view_valid[0]),
+            text_ids=np.asarray(prompt[0]), text_len=t)
+
         if os.environ.get("LVV_BENCH_ENGINE", "0") == "1":
             # steady-state throughput through the PRODUCT serving path
             # (ServingEngine: dynamic batching + depth-2 dispatch
@@ -125,16 +137,15 @@ def main():
                 m, params, max_batch=b, max_wait_ms=30.0,
                 max_new_tokens=NEW_TOKENS, eos_id=-1,
                 params_decode=globals().get("_pq"))
-            row = dict(bev=np.asarray(bev[0]), images=np.asarray(images[0]),
-                       view_valid=np.asarray(view_valid[0]),
-                       text_ids=np.asarray(prompt[0]), text_len=t)
             try:
-                for f in [eng.submit(**row) for _ in range(b)]:  # warm
-                    f.result(timeout=600)
+                # warm every bucket the timed phase can hit (1 and b)
+                eng.submit(**row_lean).result(timeout=900)
+                for f in [eng.submit(**row_lean) for _ in range(b)]:
+                    f.result(timeout=900)
                 n = 4 * b
                 t0 = time.perf_counter()
-                for f in [eng.submit(**row) for _ in range(n)]:
-                    f.result(timeout=600)
+                for f in [eng.submit(**row_lean) for _ in range(n)]:
+                    f.result(timeout=900)
                 esec = time.perf_counter() - t0
             finally:
                 eng.close()
@@ -152,15 +163,15 @@ def main():
             eng = ContinuousServingEngine(
                 m, params, slots=b, chunk_steps=8,
                 max_new_tokens=NEW_TOKENS, eos_id=-1)
-            row = dict(bev=np.asarray(bev[0]), images=np.asarray(images[0]),
-                       view_valid=np.asarray(view_valid[0]),
-                       text_ids=np.asarray(prompt[0]), text_len=t)
             try:
-                eng.submit(**row).result(timeout=600)   # compile warm
+                # warm admit buckets 1 and b (burst admissions land on b)
+                eng.submit(**row_lean).result(timeout=900)
+                for f in [eng.submit(**row_lean) for _ in range(b)]:
+                    f.result(timeout=900)
                 n = 4 * b
                 t0 = time.perf_counter()
-                for f in [eng.submit(**row) for _ in range(n)]:
-                    f.result(timeout=600)
+                for f in [eng.submit(**row_lean) for _ in range(n)]:
+                    f.result(timeout=900)
                 esec = time.perf_counter() - t0
                 st = eng.stats()
             finally:
@@ -175,26 +186,37 @@ def main():
         q_per_frame = int(os.environ.get("LVV_BENCH_PREFIX_Q", "0"))
         if q_per_frame:
             # multi-question-per-frame workload (evaluation/interactive):
-            # answers/s with the frame prefix cached vs re-encoded
+            # answers/s with the frame prefix cached vs re-encoded. In
+            # cached mode only the FIRST question per frame ships sensors
+            # (the product pattern): follow-ups are hit-only submits that
+            # upload token ids alone, so neither the encode nor the
+            # ~25 MB/frame ingest repeats.
             from lvv_tpu.inference.server import ServingEngine
             frames = 4
+            row_noimg = dict(bev=None, images=None, view_valid=None,
+                             text_ids=np.asarray(prompt[0]), text_len=t)
             for cache in (0, frames):
                 eng = ServingEngine(
                     m, params, max_batch=b, max_wait_ms=30.0,
                     max_new_tokens=NEW_TOKENS, eos_id=-1,
                     prefix_cache_size=cache)
-                row = dict(bev=np.asarray(bev[0]),
-                           images=np.asarray(images[0]),
-                           view_valid=np.asarray(view_valid[0]),
-                           text_ids=np.asarray(prompt[0]), text_len=t)
                 try:
-                    eng.submit(**row, frame_id="warm").result(timeout=600)
+                    # warm buckets 1 and b
+                    eng.submit(**row_lean,
+                               frame_id="warm").result(timeout=900)
+                    for f_ in [eng.submit(**row_lean, frame_id="warm")
+                               for _ in range(b)]:
+                        f_.result(timeout=900)
                     t0 = time.perf_counter()
-                    futs = [eng.submit(**row, frame_id=f"f{f}")
-                            for f in range(frames)
-                            for _ in range(q_per_frame)]
+                    futs = []
+                    for f in range(frames):
+                        for q in range(q_per_frame):
+                            r = (row_lean if (q == 0 or not cache)
+                                 else row_noimg)
+                            futs.append(
+                                eng.submit(**r, frame_id=f"f{f}"))
                     for f_ in futs:
-                        f_.result(timeout=600)
+                        f_.result(timeout=900)
                     esec = time.perf_counter() - t0
                 finally:
                     eng.close()

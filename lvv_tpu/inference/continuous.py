@@ -79,6 +79,9 @@ class ContinuousServingEngine:
         at a time instead of after the full answer)."""
         if self._closed.is_set():
             raise RuntimeError("engine is closed")
+        if bev is None or images is None:
+            raise ValueError("the continuous engine has no prefix cache; "
+                             "every request must carry bev and images")
         req = _Request(np.asarray(bev), np.asarray(images),
                        np.asarray(view_valid, bool),
                        np.asarray(text_ids, np.int32), int(text_len),
@@ -230,7 +233,13 @@ class ContinuousServingEngine:
         bucket = next(b for b in self.admit_buckets if b >= n)
         rows = admits + [admits[0]] * (bucket - n)
         bev = jnp.asarray(np.stack([r.bev for r in rows]))
+        if bev.dtype != jnp.float32:    # f16 wire format: cast on device
+            bev = bev.astype(jnp.float32)
         images = jnp.asarray(np.stack([r.images for r in rows]))
+        if images.dtype == jnp.uint8:   # raw [6,H,W,3] frames: preprocess
+            from .server import _preprocess_batch_fn  # on device (4x fewer
+            images = _preprocess_batch_fn(            # ingest bytes)
+                self.model.cfg.sam.img_size)(images)
         valid = jnp.asarray(np.stack([r.view_valid for r in rows]))
         ids = jnp.asarray(np.stack([r.text_ids for r in rows]))
         lens = jnp.asarray(np.array([r.text_len for r in rows], np.int32))

@@ -23,6 +23,7 @@ Throughput/latency telemetry is kept in `stats()` so a deployment can tune
 """
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -34,6 +35,24 @@ import numpy as np
 
 from ..models import (encode_prefix_fn, generate_from_prefix,
                       greedy_generate, sample_generate)
+
+
+@functools.cache
+def _preprocess_batch_fn(size: int):
+    """jit: [B, V, H, W, 3] uint8 camera frames -> [B, V, 3, size, size]
+    float32 in [-1, 1] (the model's image format), one fused launch.
+
+    Serving ingest lever: clients submit raw uint8 frames (4x fewer
+    host->device bytes than preprocessed float32 — the transfer, not the
+    matmuls, is what a serving host's ingest link sees), and the
+    resize/pad/normalize runs on device (ops/image.py, replacing the
+    reference's host-side PIL path deepencoder_infer.py:149-189)."""
+    import jax
+
+    from ..ops.image import preprocess_views
+
+    return jax.jit(lambda u8: jax.vmap(
+        lambda v: preprocess_views(v, size))(u8))
 
 
 def _buckets_up_to(max_batch: int, multiple: int = 1) -> List[int]:
@@ -78,10 +97,11 @@ def _resolve(future: Future, result=None, exc=None) -> None:
 
 @dataclass
 class _Request:
-    bev: np.ndarray          # [C, H, W]
-    images: np.ndarray       # [6, 3, S, S]
-    view_valid: np.ndarray   # [6]
-    text_ids: np.ndarray     # [T]
+    bev: Optional[np.ndarray]        # [C, H, W] f32/f16, or None (hit-only)
+    images: Optional[np.ndarray]     # [6, 3, S, S] f32 (preprocessed) or
+                                     # [6, H, W, 3] u8 (raw frames), or None
+    view_valid: Optional[np.ndarray]  # [6]
+    text_ids: np.ndarray             # [T]
     text_len: int
     max_new_tokens: Optional[int] = None   # per-request cap (<= engine max)
     frame_id: Optional[str] = None         # prefix-cache key
@@ -190,14 +210,34 @@ class ServingEngine:
         every bucket reuse one compiled program. `max_new_tokens` caps THIS
         request's answer (the device still runs the engine-level max; the
         cap truncates at fulfillment — static shapes stay uniform).
+
+        Ingest formats (pick one per engine; the bytes the client ships are
+        what a serving host's ingest link sees):
+        - `images` as float32 [6, 3, S, S] — preprocessed, model-ready;
+        - `images` as uint8 [6, H, W, 3] — raw camera frames, 4x fewer
+          bytes; resize/pad/normalize runs on device;
+        - `bev` as float16 halves its bytes (the precompute_bev product
+          format); the model casts on device.
+        With prefix caching on, a request about an already-cached
+        `frame_id` may pass `bev=None, images=None` — only the token ids
+        travel. A cache MISS with no sensors fails that request's future
+        with KeyError (the client resubmits with sensors).
         """
         if self._closed.is_set():
             raise RuntimeError("ServingEngine is closed")
-        req = _Request(np.asarray(bev), np.asarray(images),
-                       np.asarray(view_valid, bool),
-                       np.asarray(text_ids, np.int32), int(text_len),
-                       max_new_tokens=max_new_tokens,
-                       frame_id=frame_id if self.prefix_cache_size else None)
+        if images is None or bev is None:
+            if not (self.prefix_cache_size and frame_id is not None):
+                raise ValueError(
+                    "bev/images may be omitted only with prefix caching "
+                    "enabled and a frame_id (cache-hit-only request)")
+            bev = images = view_valid = None
+        req = _Request(
+            None if bev is None else np.asarray(bev),
+            None if images is None else np.asarray(images),
+            None if view_valid is None else np.asarray(view_valid, bool),
+            np.asarray(text_ids, np.int32), int(text_len),
+            max_new_tokens=max_new_tokens,
+            frame_id=frame_id if self.prefix_cache_size else None)
         self._queue.put(req)
         return req.future
 
@@ -298,53 +338,74 @@ class ServingEngine:
                     if not req.future.done():
                         _resolve(req.future, exc=e)
 
+    def _put(self, x):
+        import jax
+        import jax.numpy as jnp
+        if self.mesh is not None:
+            return jax.device_put(x, self._batch_sharding)
+        return jnp.asarray(x)
+
+    def _sensor_stacks(self, rows: Sequence[_Request]):
+        """rows -> device (bev, images, valid), preprocessing u8 frames on
+        device. Every row must carry sensors (the prefix path filters to
+        encodable rows before calling this)."""
+        import jax.numpy as jnp
+        bev = self._put(np.stack([r.bev for r in rows]))
+        if bev.dtype != jnp.float32:    # f16 wire format: cast on device
+            bev = bev.astype(jnp.float32)
+        images = self._put(np.stack([r.images for r in rows]))
+        if images.dtype == np.uint8:
+            images = _preprocess_batch_fn(self.model.cfg.sam.img_size)(
+                images)
+        valid = self._put(np.stack([r.view_valid for r in rows]))
+        return bev, images, valid
+
     def _dispatch(self, batch: List[_Request]):
         """Launch one bucket program; returns device futures (non-blocking)."""
         import jax
-        import jax.numpy as jnp
 
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
         rows = batch + [batch[0]] * (bucket - n)   # pad rows: clone row 0
 
-        def put(x):
-            if self.mesh is not None:
-                return jax.device_put(x, self._batch_sharding)
-            return jnp.asarray(x)
-
-        bev = put(np.stack([r.bev for r in rows]))
-        images = put(np.stack([r.images for r in rows]))
-        valid = put(np.stack([r.view_valid for r in rows]))
-        ids = put(np.stack([r.text_ids for r in rows]))
-        lens = put(np.array([r.text_len for r in rows], np.int32))
+        ids = self._put(np.stack([r.text_ids for r in rows]))
+        lens = self._put(np.array([r.text_len for r in rows], np.int32))
 
         if self.sampling is not None:
+            bev, images, valid = self._sensor_stacks(rows)
             self._rng, sub = jax.random.split(self._rng)
             toks, out_lens = sample_generate(
                 self.model, self.params, sub, bev, images, valid, ids,
                 lens, max_new_tokens=self.max_new_tokens,
                 eos_id=self.eos_id, **self.sampling)
         elif self.prefix_cache_size:
-            prefix = self._prefixes_for(rows, n, bev, images, valid)
+            prefix = self._prefixes_for(rows, n)
             toks, out_lens = generate_from_prefix(
                 self.model, self.params, prefix, ids, lens,
                 max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
                 params_decode=self.params_decode)
         else:
+            bev, images, valid = self._sensor_stacks(rows)
             toks, out_lens = greedy_generate(
                 self.model, self.params, bev, images, valid, ids, lens,
                 max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
                 params_decode=self.params_decode)
         return toks, out_lens, bucket
 
-    def _prefixes_for(self, rows, n_real, bev, images, valid):
-        """[bucket] prefix rows, encoding only cache misses.
+    def _prefixes_for(self, rows, n_real):
+        """[bucket] prefix rows, encoding (and uploading) only cache misses.
 
         Misses (plus every frame_id-less row) batch-encode through the
         standalone jitted prefix encoder at the same bucket sizes as the
-        generate programs; hits are reused device rows. Encoding a frame
-        once and answering N questions against it turns the dominant
-        sensor-encode cost into ~1/N per answer.
+        generate programs; hits are reused device rows whose sensors never
+        leave the host. Encoding a frame once and answering N questions
+        against it turns the dominant sensor-encode cost — AND the ~25 MB
+        sensor upload — into ~1/N per answer: hit rows ship token ids only.
+
+        A miss whose request carries no sensors (`images=None` hit-only
+        submit) fails that request's future with KeyError unless another
+        row in the batch encodes the same frame_id; its device row is a
+        placeholder whose result the resolved future already ignores.
         """
         import jax.numpy as jnp
 
@@ -363,28 +424,53 @@ class ServingEngine:
             real_miss = len([i for i in miss_idx if i < n_real])
             self._stats["prefix_hits"] += n_real - real_miss
             self._stats["prefix_misses"] += real_miss
-        # dedup misses sharing a frame_id within this batch (pad rows are
-        # literal clones of row 0, so they dedup away here too)
+        # dedup misses sharing a frame_id within this batch, preferring a
+        # row that carries sensors (a hit-only row may land in the same
+        # batch as the sensor-carrying first question about its frame);
+        # pad rows are literal clones of row 0, so they dedup away too
         first_for_key = {}
         enc_order = []
         for i in miss_idx:
             fid = rows[i].frame_id
             if fid is not None and fid in first_for_key:
+                j = first_for_key[fid]
+                if rows[j].images is None and rows[i].images is not None:
+                    enc_order[enc_order.index(j)] = i   # upgrade to sensors
+                    first_for_key[fid] = i
                 continue
             if fid is not None:
                 first_for_key[fid] = i
             elif rows[i] is rows[0] and i != 0:
                 continue   # fid-less pad clone of row 0
             enc_order.append(i)
+        # sensor-less misses with no same-batch donor cannot be served
+        failed = set()
+        enc_final = []
+        for i in enc_order:
+            if rows[i].images is None:
+                failed.add(rows[i].frame_id)
+                _resolve(rows[i].future, exc=KeyError(
+                    f"frame_id {rows[i].frame_id!r} not in the prefix "
+                    f"cache and the request carried no sensors"))
+            else:
+                enc_final.append(i)
+        if failed:   # fail every other hit-only row of a failed frame
+            for i in miss_idx:
+                fid = rows[i].frame_id
+                if fid in failed and not rows[i].future.done():
+                    _resolve(rows[i].future, exc=KeyError(
+                        f"frame_id {fid!r} not in the prefix cache and "
+                        f"the request carried no sensors"))
         fresh, batch_fid = {}, {}   # batch_fid survives LRU eviction below
-        if enc_order:
-            n = len(enc_order)
+        if enc_final:
+            n = len(enc_final)
             bucket = next(b for b in self.buckets if b >= n)
-            sel = enc_order + [enc_order[0]] * (bucket - n)
-            new = enc(self.params, bev[jnp.asarray(sel)],
-                      images[jnp.asarray(sel)], valid[jnp.asarray(sel)])
-            fresh = {i: new[j] for j, i in enumerate(enc_order)}
-            for i in enc_order:
+            sel = enc_final + [enc_final[0]] * (bucket - n)
+            bev_d, img_d, valid_d = self._sensor_stacks(
+                [rows[i] for i in sel])
+            new = enc(self.params, bev_d, img_d, valid_d)
+            fresh = {i: new[j] for j, i in enumerate(enc_final)}
+            for i in enc_final:
                 fid = rows[i].frame_id
                 if fid is not None:
                     batch_fid[fid] = fresh[i]
@@ -393,6 +479,12 @@ class ServingEngine:
             while len(self._prefix_cache) > self.prefix_cache_size:
                 self._prefix_cache.popitem(last=False)
         out = []
+        placeholder = next(iter(held.values()), None)
+        if placeholder is None and fresh:
+            placeholder = next(iter(fresh.values()))
+        if placeholder is None:
+            raise RuntimeError("no request in this batch could be served "
+                               "(all were uncached sensor-less rows)")
         for i, r in enumerate(rows):
             fid = r.frame_id
             if fid is not None and fid in batch_fid:
@@ -401,6 +493,8 @@ class ServingEngine:
                 out.append(held[fid])
             elif i in fresh:
                 out.append(fresh[i])
+            elif i == 0 or rows[i] is not rows[0]:
+                out.append(placeholder)   # failed row: future already set
             else:      # fid-less pad clone of row 0
                 out.append(out[0])
         return jnp.stack(out)

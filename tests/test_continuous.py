@@ -146,3 +146,38 @@ def test_closed_rejects(setup):
         eng.submit(reqs[0]["bev"], reqs[0]["images"],
                    reqs[0]["view_valid"], reqs[0]["text_ids"],
                    reqs[0]["text_len"])
+
+
+def test_u8_ingest_matches_preprocessed_f32(setup):
+    """Raw uint8 frames admit identically to host-preprocessed f32."""
+    from lvv_tpu.ops.image import preprocess_views
+
+    cfg, model, params, reqs = setup
+    s = cfg.model.sam.img_size
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (6, s, s, 3), dtype=np.uint8)
+    f32 = np.asarray(preprocess_views(jnp.asarray(u8), s))
+    r = reqs[0]
+
+    def run(images):
+        eng = ContinuousServingEngine(model, params, slots=2,
+                                      chunk_steps=2, eos_id=2,
+                                      max_new_tokens=4)
+        try:
+            return eng.submit(r["bev"], images, r["view_valid"],
+                              r["text_ids"], r["text_len"]).result(600)[0]
+        finally:
+            eng.close()
+
+    assert run(u8) == run(f32)
+
+
+def test_rejects_sensorless_submit(setup):
+    cfg, model, params, reqs = setup
+    eng = ContinuousServingEngine(model, params, slots=2, eos_id=2)
+    try:
+        with pytest.raises(ValueError, match="prefix cache"):
+            eng.submit(None, None, None, reqs[0]["text_ids"],
+                       reqs[0]["text_len"])
+    finally:
+        eng.close()

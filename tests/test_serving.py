@@ -351,3 +351,103 @@ def test_concurrent_submitters(setup):
     # same request payload -> same greedy tokens, whoever it batched with
     assert results[0] == results[3]
     assert eng.stats()["requests"] == 5
+
+
+def test_u8_ingest_matches_preprocessed_f32(setup):
+    """Raw uint8 [6,H,W,3] frames through the engine's on-device
+    preprocess produce the exact tokens of a host-preprocessed f32 submit
+    (same XLA preprocess program either way)."""
+    from lvv_tpu.ops.image import preprocess_views
+
+    cfg, model, params, reqs = setup
+    s = cfg.model.sam.img_size
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (6, s, s, 3), dtype=np.uint8)
+    f32 = np.asarray(preprocess_views(jnp.asarray(u8), s))
+    r = reqs[0]
+
+    def run(images):
+        eng = ServingEngine(model, params, max_batch=1, max_wait_ms=1.0,
+                            max_new_tokens=NEW_TOKENS, eos_id=2)
+        try:
+            return eng.submit(r["bev"], images, r["view_valid"],
+                              r["text_ids"], r["text_len"]).result(300)[0]
+        finally:
+            eng.close()
+
+    assert run(u8) == run(f32)
+
+
+def test_f16_bev_ingest_matches_f32(setup):
+    """f16 BEV wire format: tokens equal a f32 submit of the rounded
+    values (the engine casts on device; f16 is the precompute_bev
+    product format)."""
+    cfg, model, params, reqs = setup
+    r = reqs[0]
+    bev16 = r["bev"].astype(np.float16)
+
+    def run(bev):
+        eng = ServingEngine(model, params, max_batch=1, max_wait_ms=1.0,
+                            max_new_tokens=NEW_TOKENS, eos_id=2)
+        try:
+            return eng.submit(bev, r["images"], r["view_valid"],
+                              r["text_ids"], r["text_len"]).result(300)[0]
+        finally:
+            eng.close()
+
+    assert run(bev16) == run(bev16.astype(np.float32))
+
+
+def test_prefix_hit_only_submit(setup):
+    """With a frame cached, a sensor-less submit (bev=None, images=None)
+    returns the same answer as a full resubmit; an uncached sensor-less
+    frame fails its future with KeyError; and without prefix caching a
+    sensor-less submit is rejected outright."""
+    cfg, model, params, reqs = setup
+    r = reqs[0]
+    eng = ServingEngine(model, params, max_batch=1, max_wait_ms=1.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2,
+                        prefix_cache_size=4)
+    try:
+        full = eng.submit(r["bev"], r["images"], r["view_valid"],
+                          r["text_ids"], r["text_len"],
+                          frame_id="A").result(300)[0]
+        lean = eng.submit(None, None, None, r["text_ids"], r["text_len"],
+                          frame_id="A").result(300)[0]
+        assert lean == full
+        st = eng.stats()
+        assert st["prefix_hits"] == 1 and st["prefix_misses"] == 1
+
+        miss = eng.submit(None, None, None, r["text_ids"], r["text_len"],
+                          frame_id="NEVER-SEEN")
+        with pytest.raises(KeyError):
+            miss.result(300)
+    finally:
+        eng.close()
+
+    eng0 = ServingEngine(model, params, max_batch=1, max_wait_ms=1.0,
+                         max_new_tokens=NEW_TOKENS, eos_id=2)
+    try:
+        with pytest.raises(ValueError, match="prefix caching"):
+            eng0.submit(None, None, None, r["text_ids"], r["text_len"])
+    finally:
+        eng0.close()
+
+
+def test_prefix_hit_only_same_batch_donor(setup):
+    """A hit-only row batched WITH the sensor-carrying first question about
+    its frame is served from that same-batch encode (no KeyError)."""
+    cfg, model, params, reqs = setup
+    r = reqs[0]
+    eng = ServingEngine(model, params, max_batch=4, max_wait_ms=300.0,
+                        max_new_tokens=NEW_TOKENS, eos_id=2,
+                        prefix_cache_size=4)
+    try:
+        f_lean = eng.submit(None, None, None, r["text_ids"],
+                            r["text_len"], frame_id="B")
+        f_full = eng.submit(r["bev"], r["images"], r["view_valid"],
+                            r["text_ids"], r["text_len"], frame_id="B")
+        assert f_lean.result(300)[0] == f_full.result(300)[0]
+        assert eng.stats()["batches"] == 1
+    finally:
+        eng.close()
