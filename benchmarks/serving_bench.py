@@ -93,7 +93,15 @@ def main():
                 globals()["_pq"] = jax.device_put(
                     prepare_serving_params(params))
 
-        m = model_seq if b >= 16 else model
+        # LVV_BENCH_SEQ_FROM: batch size at which the memory-lean
+        # sequential/chunked-view encode takes over (engine modes keep TWO
+        # batches in flight via depth-2 pipelining, so their activation
+        # pressure doubles vs the raw rows — see BASELINE.md engine notes)
+        seq_from = int(os.environ.get("LVV_BENCH_SEQ_FROM", "16"))
+        m = model_seq if b >= seq_from else model
+        # A/B runs that force the lean encode below its default threshold
+        # record under suffixed keys so canonical rows stay comparable
+        sfx = "_seq" if (m is model_seq and b < 16) else ""
 
         def run():
             toks, _ = greedy_generate(m, params, bev, images,
@@ -110,7 +118,7 @@ def main():
             run()
             ts.append(time.perf_counter() - t0)
         sec = float(np.median(ts))
-        results[str(b)] = {"s_per_batch": round(sec, 4),
+        results[str(b) + sfx] = {"s_per_batch": round(sec, 4),
                            "frames_s": round(b / sec, 3)}
         outp.write_text(json.dumps(results, indent=1))
         print(f"batch {b}: {sec*1e3:.1f} ms -> {b/sec:.2f} frames/s",
@@ -149,7 +157,7 @@ def main():
                 esec = time.perf_counter() - t0
             finally:
                 eng.close()
-            results[f"engine_{b}"] = {
+            results[f"engine_{b}{sfx}"] = {
                 "frames_s": round(n / esec, 3),
                 "batch_sizes": eng.stats()["batch_sizes"]}
             outp.write_text(json.dumps(results, indent=1))
@@ -164,10 +172,14 @@ def main():
                 m, params, slots=b, chunk_steps=8,
                 max_new_tokens=NEW_TOKENS, eos_id=-1)
             try:
-                # warm admit buckets 1 and b (burst admissions land on b)
-                eng.submit(**row_lean).result(timeout=900)
-                for f in [eng.submit(**row_lean) for _ in range(b)]:
-                    f.result(timeout=900)
+                # warm EVERY admission bucket (1/2/4/...): refills after
+                # early finishes land on the intermediate sizes, and a cold
+                # compile of those variants otherwise bills to the timed
+                # burst (seen at slots=8: p50 118 s -> 55 s across two runs
+                # as the cache warmed)
+                for k in eng.admit_buckets:
+                    for f in [eng.submit(**row_lean) for _ in range(k)]:
+                        f.result(timeout=900)
                 n = 4 * b
                 t0 = time.perf_counter()
                 for f in [eng.submit(**row_lean) for _ in range(n)]:
@@ -176,12 +188,12 @@ def main():
                 st = eng.stats()
             finally:
                 eng.close()
-            results[f"cont_{b}"] = {
+            results[f"cont_{b}{sfx}"] = {
                 "answers_s": round(n / esec, 3),
                 "p50_latency_s": round(st["p50_latency_s"], 4),
                 "mean_occupancy": round(st["mean_occupancy"], 2)}
             outp.write_text(json.dumps(results, indent=1))
-            print(f"continuous slots={b}:", results[f"cont_{b}"], flush=True)
+            print(f"continuous slots={b}:", results[f"cont_{b}{sfx}"], flush=True)
 
         q_per_frame = int(os.environ.get("LVV_BENCH_PREFIX_Q", "0"))
         if q_per_frame:
@@ -200,31 +212,50 @@ def main():
                     m, params, max_batch=b, max_wait_ms=30.0,
                     max_new_tokens=NEW_TOKENS, eos_id=-1,
                     prefix_cache_size=cache)
-                try:
-                    # warm buckets 1 and b
-                    eng.submit(**row_lean,
-                               frame_id="warm").result(timeout=900)
-                    for f_ in [eng.submit(**row_lean, frame_id="warm")
-                               for _ in range(b)]:
-                        f_.result(timeout=900)
-                    t0 = time.perf_counter()
+                def burst(tag):
                     futs = []
                     for f in range(frames):
                         for q in range(q_per_frame):
                             r = (row_lean if (q == 0 or not cache)
                                  else row_noimg)
                             futs.append(
-                                eng.submit(**r, frame_id=f"f{f}"))
+                                eng.submit(**r, frame_id=f"{tag}{f}"))
                     for f_ in futs:
                         f_.result(timeout=900)
+                try:
+                    # warmup = one full dry pass of the timed workload
+                    # under throwaway frame ids: mixed batches (one
+                    # sensor-carrying miss + hit-only follow-ups) hit
+                    # encode/generate program shapes — e.g. the bucket-2
+                    # prefix ENCODE at b=8 — that bucket-by-bucket warming
+                    # misses, and a cold compile otherwise bills to the
+                    # timed window (b8_cached measured SLOWER than
+                    # uncached before this, pure compile)
+                    eng.submit(**row_lean,
+                               frame_id="warm").result(timeout=900)
+                    for f_ in [eng.submit(**row_lean, frame_id="warm")
+                               for _ in range(b)]:
+                        f_.result(timeout=900)
+                    burst("w")
+                    st0 = eng.stats()
+                    t0 = time.perf_counter()
+                    burst("f")
                     esec = time.perf_counter() - t0
+                    st1 = eng.stats()
                 finally:
                     eng.close()
                 na = frames * q_per_frame
-                key = f"prefixQ{q_per_frame}_b{b}_" + \
+                key = f"prefixQ{q_per_frame}_b{b}{sfx}_" + \
                     ("cached" if cache else "uncached")
-                results[key] = {"answers_s": round(na / esec, 3),
-                                "prefix_hits": eng.stats()["prefix_hits"]}
+                # at large b a follow-up often lands in the SAME batch as
+                # its frame's first question and dedups onto that donor
+                # row instead of registering a hit — misses (= encodes
+                # actually run) is the number that shows the saving
+                results[key] = {
+                    "answers_s": round(na / esec, 3),
+                    "prefix_hits": st1["prefix_hits"] - st0["prefix_hits"],
+                    "prefix_misses": (st1["prefix_misses"]
+                                      - st0["prefix_misses"])}
                 outp.write_text(json.dumps(results, indent=1))
                 print(key, results[key], flush=True)
 
