@@ -37,10 +37,20 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
 
 
 def init_distributed() -> None:
-    """Multi-host init (replaces torch.distributed env-var init). No-op on a
-    single host; call before device queries on multi-host TPU pods."""
+    """Multi-host init (replaces torch.distributed env-var init — reference
+    init_dist_pytorch/init_dist_slurm, common_utils.py:162-204). No-op on a
+    single host; call before device queries on multi-host TPU pods.
+
+    Triggers on any of: explicit COORDINATOR_ADDRESS, a SLURM allocation
+    (jax auto-detects the coordinator from SLURM_NODELIST — the TPU
+    equivalent of the reference's hand-built SLURM rendezvous), or
+    LVV_MULTIHOST=1 (Cloud TPU pod slices, where the TPU runtime carries
+    the topology; see scripts/tpu_train.sh)."""
     import os
-    if "COORDINATOR_ADDRESS" in os.environ:
+    if ("COORDINATOR_ADDRESS" in os.environ
+            or os.environ.get("LVV_MULTIHOST") == "1"
+            or (os.environ.get("SLURM_JOB_ID")
+                and int(os.environ.get("SLURM_NTASKS", "1")) > 1)):
         jax.distributed.initialize()
 
 
