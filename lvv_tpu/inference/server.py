@@ -231,10 +231,23 @@ class ServingEngine:
                     "bev/images may be omitted only with prefix caching "
                     "enabled and a frame_id (cache-hit-only request)")
             bev = images = view_valid = None
+        if self.mesh is None:
+            # upload-at-admission: start each request's host->device sensor
+            # transfer NOW, in the submitter's thread (device_put is async).
+            # Uploads spread over the arrival window and overlap the batch
+            # currently executing, instead of one giant blocking stack+put
+            # at dispatch — the difference between ingest riding the line
+            # rate and ingest serializing behind compute. (Mesh mode keeps
+            # host arrays: sharded placement needs the assembled batch.)
+            import jax.numpy as jnp
+            put = jnp.asarray
+        else:
+            def put(x, dtype=None):
+                return np.asarray(x, dtype)
         req = _Request(
-            None if bev is None else np.asarray(bev),
-            None if images is None else np.asarray(images),
-            None if view_valid is None else np.asarray(view_valid, bool),
+            None if bev is None else put(bev),
+            None if images is None else put(images),
+            None if view_valid is None else put(view_valid, bool),
             np.asarray(text_ids, np.int32), int(text_len),
             max_new_tokens=max_new_tokens,
             frame_id=frame_id if self.prefix_cache_size else None)
@@ -348,16 +361,24 @@ class ServingEngine:
     def _sensor_stacks(self, rows: Sequence[_Request]):
         """rows -> device (bev, images, valid), preprocessing u8 frames on
         device. Every row must carry sensors (the prefix path filters to
-        encodable rows before calling this)."""
+        encodable rows before calling this).
+
+        Single-device rows arrive device-resident (upload-at-admission in
+        submit()), so stacking here is a per-bucket on-device concat — no
+        host bytes move at dispatch time."""
         import jax.numpy as jnp
-        bev = self._put(np.stack([r.bev for r in rows]))
+        bev = (jnp.stack([r.bev for r in rows]) if self.mesh is None
+               else self._put(np.stack([r.bev for r in rows])))
         if bev.dtype != jnp.float32:    # f16 wire format: cast on device
             bev = bev.astype(jnp.float32)
-        images = self._put(np.stack([r.images for r in rows]))
+        images = (jnp.stack([r.images for r in rows]) if self.mesh is None
+                  else self._put(np.stack([r.images for r in rows])))
         if images.dtype == np.uint8:
             images = _preprocess_batch_fn(self.model.cfg.sam.img_size)(
                 images)
-        valid = self._put(np.stack([r.view_valid for r in rows]))
+        valid = (jnp.stack([r.view_valid for r in rows])
+                 if self.mesh is None
+                 else self._put(np.stack([r.view_valid for r in rows])))
         return bev, images, valid
 
     def _dispatch(self, batch: List[_Request]):
