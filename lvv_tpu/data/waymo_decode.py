@@ -1,0 +1,463 @@
+"""Devkit-free Waymo Open Dataset tfrecord -> npy/info decoder.
+
+The reference's offline step (pcdet/datasets/waymo/waymo_utils.py:
+169-260) requires tensorflow + the compiled ``waymo_open_dataset``
+protos to turn ``segment-*.tfrecord`` files into per-frame ``%04d.npy``
+point files and a per-sequence info pickle.  This module reproduces that
+step in pure numpy on top of :mod:`lvv_tpu.data.tfrecord_io`:
+
+- tfrecord framing + proto wire walking need no generated code;
+- the few field numbers used are centralized in the ``SCHEMA`` maps
+  below (transcribed from the public waymo-open-dataset
+  ``dataset.proto`` / ``label.proto``);
+- the range-image -> cartesian math (spherical unprojection, extrinsic,
+  per-pixel rolling-shutter pose for the TOP lidar) reimplements
+  ``range_image_utils.extract_point_cloud_from_range_image`` exactly
+  (reference call site waymo_utils.py:137-146).
+
+Outputs match the reference bit-for-bit in layout: ``[N, 6]`` float32
+``(x, y, z, intensity, elongation, nlz_flag)`` per frame (vehicle frame,
+returns 1+2 concatenated, waymo_utils.py:181-192) and info dicts with
+``point_cloud/frame_id/metadata/pose/annos/num_points_of_each_lidar``
+(waymo_utils.py:228-260); ``annos.gt_boxes_lidar`` is ``[G, 9]`` with
+global->vehicle-rotated speeds (generate_labels:59-67).
+
+Test strategy: the ``encode_*`` fabrication helpers emit frames through
+the same SCHEMA constants, so round-trip tests validate the decoder
+logic and the geometry against hand-built scenes; the constants
+themselves are the single point of trust for real data.
+"""
+from __future__ import annotations
+
+import pathlib
+import pickle
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import tfrecord_io as tio
+
+# --------------------------------------------------------------- schema
+# Field numbers per waymo-open-dataset dataset.proto / label.proto.
+
+FRAME = dict(context=1, timestamp_micros=2, pose=3, images=4, lasers=5,
+             laser_labels=6)
+CONTEXT = dict(name=1, camera_calibrations=2, laser_calibrations=3)
+CAMERA_CALIBRATION = dict(name=1, intrinsic=2, extrinsic=3, width=4,
+                          height=5)
+LASER_CALIBRATION = dict(name=1, beam_inclinations=2,
+                         beam_inclination_min=3, beam_inclination_max=4,
+                         extrinsic=5)
+TRANSFORM = dict(transform=1)                 # 16 doubles, row-major 4x4
+LASER = dict(name=1, ri_return1=2, ri_return2=3)
+RANGE_IMAGE = dict(range_image_compressed=1,
+                   camera_projection_compressed=2,
+                   range_image_pose_compressed=3)
+MATRIX_FLOAT = dict(data=1, shape=2)
+MATRIX_SHAPE = dict(dims=1)
+LABEL = dict(box=1, metadata=2, type=3, id=4,
+             detection_difficulty_level=5, tracking_difficulty_level=6,
+             num_lidar_points_in_box=7)
+# NOTE label.proto declares width=4 BEFORE length=5 (docstring order is
+# length/width/height; numeric order is width/length/height).
+LABEL_BOX = dict(center_x=1, center_y=2, center_z=3, width=4, length=5,
+                 height=6, heading=7)
+LABEL_METADATA = dict(speed_x=1, speed_y=2, accel_x=3, accel_y=4)
+
+LASER_TOP = 1                                  # LaserName.Name enum
+WAYMO_CLASSES = ("unknown", "Vehicle", "Pedestrian", "Sign", "Cyclist")
+
+
+# ------------------------------------------------------ matrix utilities
+
+def _parse_matrix_float(buf: bytes) -> np.ndarray:
+    msg = tio.parse_fields(buf)
+    data = tio.repeated_float(msg, MATRIX_FLOAT["data"])
+    dims = tio.repeated_varint(tio.get_message(msg, MATRIX_FLOAT["shape"]),
+                               MATRIX_SHAPE["dims"])
+    return data.reshape(dims) if dims else data
+
+
+def _parse_compressed_matrix(buf: bytes) -> Optional[np.ndarray]:
+    if not buf:
+        return None
+    return _parse_matrix_float(zlib.decompress(buf))
+
+
+def _parse_transform(fields: tio.Fields, num: int) -> np.ndarray:
+    sub = tio.get_message(fields, num)
+    mat = tio.repeated_double(sub, TRANSFORM["transform"])
+    return mat.reshape(4, 4) if mat.size == 16 else np.eye(4)
+
+
+# ----------------------------------------------------------- frame parse
+
+def parse_frame(payload: bytes) -> Dict:
+    """One tfrecord payload -> structured dict (no geometry yet)."""
+    f = tio.parse_fields(payload)
+    ctx = tio.get_message(f, FRAME["context"])
+    calibs = {}
+    for cal in tio.iter_messages(ctx, CONTEXT["laser_calibrations"]):
+        name = tio.get_varint(cal, LASER_CALIBRATION["name"])
+        calibs[name] = dict(
+            beam_inclinations=tio.repeated_double(
+                cal, LASER_CALIBRATION["beam_inclinations"]),
+            beam_inclination_min=tio.get_double(
+                cal, LASER_CALIBRATION["beam_inclination_min"]),
+            beam_inclination_max=tio.get_double(
+                cal, LASER_CALIBRATION["beam_inclination_max"]),
+            extrinsic=_parse_transform(cal, LASER_CALIBRATION["extrinsic"]),
+        )
+    cam_shapes = []
+    for cam in tio.iter_messages(ctx, CONTEXT["camera_calibrations"]):
+        cam_shapes.append((tio.get_varint(cam, CAMERA_CALIBRATION["height"]),
+                           tio.get_varint(cam, CAMERA_CALIBRATION["width"])))
+    lasers = {}
+    for laser in tio.iter_messages(f, FRAME["lasers"]):
+        name = tio.get_varint(laser, LASER["name"])
+        entry = {}
+        for ri_key in ("ri_return1", "ri_return2"):
+            ri = tio.get_message(laser, LASER[ri_key])
+            entry[ri_key] = dict(
+                range_image=_parse_compressed_matrix(tio.get_bytes(
+                    ri, RANGE_IMAGE["range_image_compressed"])),
+                pose=_parse_compressed_matrix(tio.get_bytes(
+                    ri, RANGE_IMAGE["range_image_pose_compressed"])),
+            )
+        lasers[name] = entry
+    labels = []
+    for lab in tio.iter_messages(f, FRAME["laser_labels"]):
+        box = tio.get_message(lab, LABEL["box"])
+        meta = tio.get_message(lab, LABEL["metadata"])
+        labels.append(dict(
+            center=[tio.get_double(box, LABEL_BOX[k])
+                    for k in ("center_x", "center_y", "center_z")],
+            dims=[tio.get_double(box, LABEL_BOX[k])
+                  for k in ("length", "width", "height")],
+            heading=tio.get_double(box, LABEL_BOX["heading"]),
+            type=tio.get_varint(lab, LABEL["type"]),
+            id=tio.get_bytes(lab, LABEL["id"]).decode("utf-8", "replace"),
+            detection_difficulty=tio.get_varint(
+                lab, LABEL["detection_difficulty_level"]),
+            tracking_difficulty=tio.get_varint(
+                lab, LABEL["tracking_difficulty_level"]),
+            num_lidar_points_in_box=tio.get_varint(
+                lab, LABEL["num_lidar_points_in_box"]),
+            speed=[tio.get_double(meta, LABEL_METADATA["speed_x"]),
+                   tio.get_double(meta, LABEL_METADATA["speed_y"])],
+            accel=[tio.get_double(meta, LABEL_METADATA["accel_x"]),
+                   tio.get_double(meta, LABEL_METADATA["accel_y"])],
+        ))
+    return dict(
+        context_name=tio.get_bytes(ctx, CONTEXT["name"]).decode(
+            "utf-8", "replace"),
+        timestamp_micros=tio.get_varint(f, FRAME["timestamp_micros"]),
+        pose=_parse_transform(f, FRAME["pose"]),
+        camera_shapes=cam_shapes,
+        laser_calibrations=calibs,
+        lasers=lasers,
+        laser_labels=labels,
+    )
+
+
+# ------------------------------------------------------- range image math
+
+def compute_inclination(inclination_min: float, inclination_max: float,
+                        height: int) -> np.ndarray:
+    """Uniform beam inclinations, ascending (range_image_utils)."""
+    diff = inclination_max - inclination_min
+    return (0.5 + np.arange(height)) / height * diff + inclination_min
+
+
+def _pixel_pose_to_transform(pose_img: np.ndarray) -> Tuple[np.ndarray,
+                                                            np.ndarray]:
+    """[H, W, 6] (roll, pitch, yaw, x, y, z) -> rotation [H, W, 3, 3] +
+    translation [H, W, 3] (transform_utils.get_rotation_matrix:
+    Rz(yaw) @ Ry(pitch) @ Rx(roll))."""
+    roll, pitch, yaw = (pose_img[..., i] for i in range(3))
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rot = np.empty(pose_img.shape[:-1] + (3, 3), np.float64)
+    rot[..., 0, 0] = cy * cp
+    rot[..., 0, 1] = cy * sp * sr - sy * cr
+    rot[..., 0, 2] = cy * sp * cr + sy * sr
+    rot[..., 1, 0] = sy * cp
+    rot[..., 1, 1] = sy * sp * sr + cy * cr
+    rot[..., 1, 2] = sy * sp * cr - cy * sr
+    rot[..., 2, 0] = -sp
+    rot[..., 2, 1] = cp * sr
+    rot[..., 2, 2] = cp * cr
+    return rot, pose_img[..., 3:6].astype(np.float64)
+
+
+def range_image_to_point_cloud(range_image: np.ndarray,
+                               extrinsic: np.ndarray,
+                               inclinations: np.ndarray,
+                               pixel_pose: Optional[np.ndarray] = None,
+                               frame_pose: Optional[np.ndarray] = None,
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Unproject one [H, W, >=4] range image to vehicle-frame points.
+
+    Returns (points [N, 3], features [N, 3] = intensity/elongation/nlz)
+    for pixels with range > 0.  Mirrors
+    ``range_image_utils.extract_point_cloud_from_range_image``:
+    azimuth ``((W - 0.5 - col)/W * 2 - 1) * pi - atan2(ext[1,0],
+    ext[0,0])``, row 0 = highest beam, polar -> cartesian -> extrinsic ->
+    (optional per-pixel pose -> frame-pose inverse for the TOP lidar).
+    """
+    h, w = range_image.shape[:2]
+    incl = np.asarray(inclinations, np.float64)[::-1]        # row 0 = max
+    az_correction = float(np.arctan2(extrinsic[1, 0], extrinsic[0, 0]))
+    ratios = (w - 0.5 - np.arange(w, dtype=np.float64)) / w
+    azimuth = (ratios * 2.0 - 1.0) * np.pi - az_correction
+
+    r = range_image[..., 0].astype(np.float64)
+    cos_i, sin_i = np.cos(incl)[:, None], np.sin(incl)[:, None]
+    cos_a, sin_a = np.cos(azimuth)[None, :], np.sin(azimuth)[None, :]
+    x = cos_a * cos_i * r
+    y = sin_a * cos_i * r
+    z = sin_i * r
+    pts = np.stack([x, y, z], axis=-1)                        # [H, W, 3]
+    pts = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+
+    if pixel_pose is not None:
+        rot, trans = _pixel_pose_to_transform(pixel_pose)
+        pts = np.einsum("hwij,hwj->hwi", rot, pts) + trans    # -> global
+        if frame_pose is None:
+            frame_pose = np.eye(4)
+        inv_rot = frame_pose[:3, :3].T
+        pts = (pts - frame_pose[:3, 3]) @ inv_rot.T           # -> vehicle
+
+    mask = range_image[..., 0] > 0
+    feats = range_image[..., 1:4].astype(np.float32)
+    return pts[mask].astype(np.float32), feats[mask]
+
+
+def frame_point_cloud(frame: Dict, use_two_returns: bool = True,
+                      ) -> Tuple[np.ndarray, List[int]]:
+    """All lasers, returns 1(+2) -> [N, 6] float32 in the vehicle frame.
+
+    Ordering matches the reference exactly (waymo_utils.py:110-166,
+    177-192): lasers sorted by name, and per laser the two returns
+    concatenated return1-then-return2.  The TOP lidar's per-pixel
+    rolling-shutter pose lives on return 1's proto but applies to BOTH
+    returns (frame_utils parses one ``range_image_top_pose``;
+    convert_range_image_to_point_cloud:110-131 reuses it per return)."""
+    returns = ("ri_return1", "ri_return2") if use_two_returns else (
+        "ri_return1",)
+    per_laser_counts: Dict[int, int] = {}
+    chunks = []
+    for name in sorted(frame["lasers"]):
+        pose_img = None
+        if name == LASER_TOP:
+            r1 = frame["lasers"][name].get("ri_return1")
+            pose_img = r1.get("pose") if r1 else None
+            if pose_img is not None and pose_img.size == 0:
+                pose_img = None
+        for ri_key in returns:
+            entry = frame["lasers"][name].get(ri_key)
+            ri = entry.get("range_image") if entry else None
+            if ri is None or ri.ndim != 3:
+                continue
+            cal = frame["laser_calibrations"].get(name, {})
+            incl = np.asarray(cal.get("beam_inclinations", ()), np.float64)
+            if incl.size == 0:
+                incl = compute_inclination(
+                    cal.get("beam_inclination_min", 0.0),
+                    cal.get("beam_inclination_max", 0.0), ri.shape[0])
+            pts, feats = range_image_to_point_cloud(
+                ri, cal.get("extrinsic", np.eye(4)), incl,
+                pixel_pose=pose_img, frame_pose=frame["pose"])
+            # features: intensity, elongation, nlz flag (channel 3)
+            chunks.append(np.concatenate([pts, feats], axis=1))
+            per_laser_counts[name] = per_laser_counts.get(name, 0) + \
+                len(pts)
+    if chunks:
+        points = np.concatenate(chunks, axis=0)
+    else:
+        points = np.zeros((0, 6), np.float32)
+    counts = [per_laser_counts[k] for k in sorted(per_laser_counts)]
+    return points.astype(np.float32), counts
+
+
+# --------------------------------------------------------------- labels
+
+def generate_labels(frame: Dict, pose: np.ndarray) -> Dict:
+    """Reference waymo_utils.generate_labels:23-70 (drop 'unknown',
+    rotate global speeds into the vehicle frame, 9-col gt_boxes_lidar)."""
+    labs = [l for l in frame["laser_labels"]
+            if WAYMO_CLASSES[l["type"]] != "unknown"]
+    annos = dict(
+        name=np.asarray([WAYMO_CLASSES[l["type"]] for l in labs]),
+        difficulty=np.asarray([l["detection_difficulty"] for l in labs],
+                              np.int64),
+        dimensions=np.asarray([l["dims"] for l in labs],
+                              np.float64).reshape(len(labs), 3),
+        location=np.asarray([l["center"] for l in labs],
+                            np.float64).reshape(len(labs), 3),
+        heading_angles=np.asarray([l["heading"] for l in labs]),
+        obj_ids=np.asarray([l["id"] for l in labs]),
+        tracking_difficulty=np.asarray(
+            [l["tracking_difficulty"] for l in labs], np.int64),
+        num_points_in_gt=np.asarray(
+            [l["num_lidar_points_in_box"] for l in labs], np.int64),
+        speed_global=np.asarray([l["speed"] for l in labs],
+                                np.float64).reshape(len(labs), 2),
+        accel_global=np.asarray([l["accel"] for l in labs],
+                                np.float64).reshape(len(labs), 2),
+    )
+    if len(labs):
+        speed3 = np.pad(annos["speed_global"], ((0, 0), (0, 1)))
+        speed = (speed3 @ np.linalg.inv(pose[:3, :3].T))[:, :2]
+        annos["gt_boxes_lidar"] = np.concatenate(
+            [annos["location"], annos["dimensions"],
+             annos["heading_angles"][:, None], speed], axis=1)
+    else:
+        annos["gt_boxes_lidar"] = np.zeros((0, 9))
+    return annos
+
+
+# -------------------------------------------------------- sequence decode
+
+def decode_sequence(tfrecord_path, save_path, sampled_interval: int = 1,
+                    has_label: bool = True, use_two_returns: bool = True,
+                    verify_crc: bool = False) -> List[Dict]:
+    """tfrecord -> <save_path>/<sequence>/%04d.npy + <sequence>.pkl.
+
+    Mirrors reference process_single_sequence (waymo_utils.py:197-266):
+    skip-existing idempotency, sampled_interval frame striding, info
+    schema identical to the devkit pipeline's.
+    """
+    tfrecord_path = pathlib.Path(tfrecord_path)
+    sequence_name = tfrecord_path.name
+    for suffix in (".tfrecord", ".tfrec"):
+        if sequence_name.endswith(suffix):
+            sequence_name = sequence_name[:-len(suffix)]
+    seq_dir = pathlib.Path(save_path) / sequence_name
+    seq_dir.mkdir(parents=True, exist_ok=True)
+    pkl_file = seq_dir / f"{sequence_name}.pkl"
+    if pkl_file.exists():
+        with open(pkl_file, "rb") as f:
+            return pickle.load(f)
+
+    infos: List[Dict] = []
+    for cnt, payload in enumerate(
+            tio.read_tfrecord(tfrecord_path, verify_crc=verify_crc)):
+        if cnt % sampled_interval != 0:
+            continue
+        frame = parse_frame(payload)
+        pose = frame["pose"].astype(np.float32)
+        info = {
+            "point_cloud": {"num_features": 5,
+                            "lidar_sequence": sequence_name,
+                            "sample_idx": cnt},
+            "frame_id": sequence_name + ("_%03d" % cnt),
+            "metadata": {"context_name": frame["context_name"],
+                         "timestamp_micros": frame["timestamp_micros"]},
+            "image": {f"image_shape_{j}": shape for j, shape in
+                      enumerate(frame["camera_shapes"][:5])},
+            "pose": pose,
+        }
+        if has_label:
+            info["annos"] = generate_labels(frame, pose=pose)
+        points, counts = frame_point_cloud(
+            frame, use_two_returns=use_two_returns)
+        np.save(seq_dir / ("%04d.npy" % cnt), points)
+        info["num_points_of_each_lidar"] = counts
+        infos.append(info)
+    with open(pkl_file, "wb") as f:
+        pickle.dump(infos, f)
+    return infos
+
+
+# ------------------------------------------------- test-frame fabrication
+
+def encode_matrix_float(arr: np.ndarray) -> bytes:
+    shape = b"".join(tio.field_varint(MATRIX_SHAPE["dims"], d)
+                     for d in arr.shape)
+    return (tio.field_packed_floats(MATRIX_FLOAT["data"],
+                                    np.asarray(arr, np.float32).ravel())
+            + tio.field_bytes(MATRIX_FLOAT["shape"], shape))
+
+
+def encode_transform(field: int, mat: np.ndarray) -> bytes:
+    inner = tio.field_packed_doubles(TRANSFORM["transform"],
+                                     np.asarray(mat, np.float64).ravel())
+    return tio.field_bytes(field, inner)
+
+
+def encode_frame(context_name: str, timestamp_micros: int,
+                 pose: np.ndarray, lasers: Dict[int, Dict],
+                 calibrations: Dict[int, Dict],
+                 labels: Sequence[Dict] = (),
+                 camera_shapes: Sequence[Tuple[int, int]] = ()) -> bytes:
+    """Fabricate a Frame payload through the same SCHEMA constants.
+
+    ``lasers``: {name: {"ri_return1": [H, W, 4] array, "pose": optional
+    [H, W, 6]}}; ``calibrations``: {name: {"extrinsic": 4x4,
+    "beam_inclinations": [H] or "beam_inclination_min"/"max"}};
+    ``labels``: dicts with center/dims/heading/type/id/speed/....
+    """
+    ctx = tio.field_string(CONTEXT["name"], context_name)
+    for h, w in camera_shapes:
+        cam = (tio.field_varint(CAMERA_CALIBRATION["height"], h)
+               + tio.field_varint(CAMERA_CALIBRATION["width"], w))
+        ctx += tio.field_bytes(CONTEXT["camera_calibrations"], cam)
+    for name, cal in calibrations.items():
+        body = tio.field_varint(LASER_CALIBRATION["name"], name)
+        if "beam_inclinations" in cal and len(cal["beam_inclinations"]):
+            body += tio.field_packed_doubles(
+                LASER_CALIBRATION["beam_inclinations"],
+                cal["beam_inclinations"])
+        if "beam_inclination_min" in cal:
+            body += tio.field_double(LASER_CALIBRATION[
+                "beam_inclination_min"], cal["beam_inclination_min"])
+            body += tio.field_double(LASER_CALIBRATION[
+                "beam_inclination_max"], cal["beam_inclination_max"])
+        body += encode_transform(LASER_CALIBRATION["extrinsic"],
+                                 cal.get("extrinsic", np.eye(4)))
+        ctx += tio.field_bytes(CONTEXT["laser_calibrations"], body)
+
+    out = tio.field_bytes(FRAME["context"], ctx)
+    out += tio.field_varint(FRAME["timestamp_micros"], timestamp_micros)
+    out += encode_transform(FRAME["pose"], pose)
+    for name, entry in lasers.items():
+        body = tio.field_varint(LASER["name"], name)
+        for ri_key in ("ri_return1", "ri_return2"):
+            if entry.get(ri_key) is None:
+                continue
+            ri = tio.field_bytes(
+                RANGE_IMAGE["range_image_compressed"],
+                zlib.compress(encode_matrix_float(entry[ri_key])))
+            if entry.get("pose") is not None and ri_key == "ri_return1":
+                ri += tio.field_bytes(
+                    RANGE_IMAGE["range_image_pose_compressed"],
+                    zlib.compress(encode_matrix_float(entry["pose"])))
+            body += tio.field_bytes(LASER[ri_key], ri)
+        out += tio.field_bytes(FRAME["lasers"], body)
+    for lab in labels:
+        box = b"".join([
+            tio.field_double(LABEL_BOX["center_x"], lab["center"][0]),
+            tio.field_double(LABEL_BOX["center_y"], lab["center"][1]),
+            tio.field_double(LABEL_BOX["center_z"], lab["center"][2]),
+            tio.field_double(LABEL_BOX["width"], lab["dims"][1]),
+            tio.field_double(LABEL_BOX["length"], lab["dims"][0]),
+            tio.field_double(LABEL_BOX["height"], lab["dims"][2]),
+            tio.field_double(LABEL_BOX["heading"], lab["heading"]),
+        ])
+        meta = (tio.field_double(LABEL_METADATA["speed_x"],
+                                 lab.get("speed", (0, 0))[0])
+                + tio.field_double(LABEL_METADATA["speed_y"],
+                                   lab.get("speed", (0, 0))[1]))
+        body = (tio.field_bytes(LABEL["box"], box)
+                + tio.field_bytes(LABEL["metadata"], meta)
+                + tio.field_varint(LABEL["type"], lab.get("type", 1))
+                + tio.field_string(LABEL["id"], lab.get("id", "obj"))
+                + tio.field_varint(LABEL["detection_difficulty_level"],
+                                   lab.get("detection_difficulty", 0))
+                + tio.field_varint(LABEL["num_lidar_points_in_box"],
+                                   lab.get("num_lidar_points_in_box", 1)))
+        out += tio.field_bytes(FRAME["laser_labels"], body)
+    return out
