@@ -467,9 +467,15 @@ class NuScenesDetection(DetectionDatasetBase):
         from .nuscenes_utils import build_sample_info, finalize_info
         if infos is None:
             if nusc is None:
-                from nuscenes import NuScenes
-                nusc = NuScenes(version=version, dataroot=dataroot,
-                                verbose=False)
+                try:
+                    from nuscenes import NuScenes
+                    nusc = NuScenes(version=version, dataroot=dataroot,
+                                    verbose=False)
+                except ImportError:
+                    # devkit-free: the raw JSON tables are all we need
+                    from .nuscenes_tables import TableNuScenes
+                    nusc = TableNuScenes(version=version,
+                                         dataroot=dataroot)
             # same post-build filters as fill_trainval_infos so live-devkit
             # and pickled-info paths produce identical info shapes
             infos = [finalize_info(build_sample_info(

@@ -269,6 +269,31 @@ def fill_trainval_infos(nusc, train_scene_tokens, val_scene_tokens,
     return train, val
 
 
+def fill_trainval_infos_lyft(nusc, train_scene_tokens, val_scene_tokens,
+                             max_sweeps: int = 10,
+                             dataroot: Optional[str] = None
+                             ) -> Tuple[List[Dict], List[Dict]]:
+    """Lyft Level-5 info build (reference lyft/lyft_utils.py:86-224).
+
+    Lyft shares the nuScenes table schema, so the sweep/transform
+    machinery is byte-identical; the differences are (a) gt boxes stay
+    7-column with velocity split out (`gt_boxes_velocity`), (b) raw
+    category names are kept (Lyft's 9 classes ARE the detection classes,
+    no map), (c) no zero-point filtering (Lyft annotations carry no
+    num_lidar_pts)."""
+    train, val = [], []
+    train_set = set(train_scene_tokens)
+    for sample in nusc.sample:
+        info = build_sample_info(nusc, sample, max_sweeps, dataroot)
+        b9 = info["gt_boxes"]
+        info["gt_boxes"] = b9[:, :7]
+        info["gt_boxes_velocity"] = np.concatenate(
+            [b9[:, 7:9], np.zeros((len(b9), 1), np.float32)], axis=1)
+        info.pop("num_radar_pts", None)
+        (train if sample["scene_token"] in train_set else val).append(info)
+    return train, val
+
+
 # ------------------------------------------------------------ sweep loading
 
 
