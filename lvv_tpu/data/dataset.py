@@ -64,6 +64,25 @@ def load_qa_rows(path: str, *, answer_key: str = "answer",
     return out
 
 
+def make_nusc_handle(dataroot: Optional[str]):
+    """Best-effort nuScenes handle for camera-path resolution: the devkit
+    when importable, else the devkit-free table reader
+    (:class:`lvv_tpu.data.nuscenes_tables.TableNuScenes`), else None —
+    downstream zero-fills missing views exactly like the reference
+    (trainer.py:535-541, deepencoder_infer.py:536-549)."""
+    if not dataroot:
+        return None
+    from .nuscenes_tables import TableNuScenes
+    version = TableNuScenes.find_version(dataroot)
+    if version is None:
+        return None
+    try:
+        from nuscenes import NuScenes
+        return NuScenes(version=version, dataroot=dataroot, verbose=False)
+    except ImportError:
+        return TableNuScenes(version=version, dataroot=dataroot)
+
+
 class MixedNuDataset:
     """Caption + grounding mixture keyed by BEV availability."""
 

@@ -117,6 +117,17 @@ class TableNuScenes:
 
     # --- conveniences ---------------------------------------------------
 
+    @staticmethod
+    def find_version(dataroot) -> Optional[str]:
+        """Autodetect the table dir name (the subdir holding sample.json)."""
+        root = pathlib.Path(dataroot)
+        if not root.is_dir():
+            return None
+        for cand in sorted(root.iterdir()):
+            if cand.is_dir() and (cand / "sample.json").exists():
+                return cand.name
+        return None
+
     def scene_splits(self, train_names, val_names):
         """Scene-name lists -> (train_tokens, val_tokens)."""
         train = [s["token"] for s in self.scene if s["name"] in

@@ -51,10 +51,16 @@ class Trainer:
 
         self.tokenizer = tokenizer or load_tokenizer(
             None, cfg.model.llm.special_tokens)
-        self.dataset = dataset or MixedNuDataset(
-            cfg.data.bev_features_dir, cfg.data.caption_json,
-            cfg.data.grounding_json,
-            grounding_template_filter=cfg.data.grounding_template_filter)
+        if dataset is None:
+            from lvv_tpu.data.dataset import make_nusc_handle
+            dataset = MixedNuDataset(
+                cfg.data.bev_features_dir, cfg.data.caption_json,
+                cfg.data.grounding_json,
+                grounding_template_filter=cfg.data
+                .grounding_template_filter,
+                nusc=make_nusc_handle(cfg.data.nuscenes_root),
+                dataroot=cfg.data.nuscenes_root)
+        self.dataset = dataset
         n = len(self.dataset)
         if n == 0:
             raise ValueError("dataset is empty — check data paths")

@@ -42,11 +42,17 @@ def _write_tables(tmp_path, version="v1.0-mini"):
 
     tables = {
         "sensor": [dict(token="sensor-lidar", channel="LIDAR_TOP",
-                        modality="lidar")],
+                        modality="lidar"),
+                   dict(token="sensor-camf", channel="CAM_FRONT",
+                        modality="camera")],
         "calibrated_sensor": [dict(
             token="cs-lidar", sensor_token="sensor-lidar",
             translation=[1.0, 0.0, 1.8], rotation=_quat_z(0.0),
-            camera_intrinsic=[])],
+            camera_intrinsic=[]),
+            dict(token="cs-camf", sensor_token="sensor-camf",
+                 translation=[1.5, 0.0, 1.5], rotation=_quat_z(0.0),
+                 camera_intrinsic=[[1000, 0, 800], [0, 1000, 450],
+                                   [0, 0, 1]])],
         "category": [dict(token="cat-car", name="vehicle.car")],
         "instance": [dict(token="inst-1", category_token="cat-car",
                           nbr_annotations=2,
@@ -65,6 +71,11 @@ def _write_tables(tmp_path, version="v1.0-mini"):
                  next="", scene_token="scene-1"),
         ],
         "sample_data": [
+            dict(token="sd-cam1", sample_token="samp-1",
+                 ego_pose_token="pose-sd-1",
+                 calibrated_sensor_token="cs-camf",
+                 filename="samples/CAM_FRONT/c1.jpg", fileformat="jpg",
+                 is_key_frame=True, timestamp=t0, prev="", next=""),
             sd("sd-1", "samp-1", "sweeps/LIDAR_TOP/f1.pcd.bin", t0,
                True, "", "sd-1b"),
             sd("sd-1b", "samp-1", "sweeps/LIDAR_TOP/f1b.pcd.bin",
@@ -240,3 +251,26 @@ def test_create_lyft_infos_cli(tmp_path, monkeypatch):
     assert mod.main() == 0
     infos = pickle.loads((save / "lyft_infos_train.pkl").read_bytes())
     assert len(infos) == 2
+
+
+def test_make_nusc_handle_and_cam_paths(tmp_path):
+    from lvv_tpu.data.dataset import MixedNuDataset, make_nusc_handle
+    root = _write_tables(tmp_path)
+    # find_version autodetects the table dir; devkit absent -> TableNuScenes
+    handle = make_nusc_handle(str(root))
+    assert isinstance(handle, TableNuScenes)
+    assert make_nusc_handle(str(tmp_path / "nothing")) is None
+    bev_dir = tmp_path / "bev"
+    bev_dir.mkdir()
+    np.save(bev_dir / "samp-1.npy", np.zeros((4, 6, 6), np.float16))
+    qa = tmp_path / "cap.json"
+    qa.write_text(json.dumps([{"sample_token": "samp-1",
+                               "question": "What is ahead?",
+                               "answer": "a car"}]))
+    ds = MixedNuDataset(str(bev_dir), str(qa), str(tmp_path / "none.json"),
+                        nusc=handle, dataroot=str(root))
+    row = ds[0]
+    paths = row["cam_paths"]
+    assert paths[0].endswith("samples/CAM_FRONT/c1.jpg")
+    # the other five views are missing -> None (zero-fill downstream)
+    assert paths[1:] == [None] * 5

@@ -59,9 +59,13 @@ def main() -> None:
     det = VoxelNeXtDetector(det_cfg=cfg.model.voxelnext,
                             vox_cfg=cfg.voxelize)
 
-    from nuscenes import NuScenes  # gated: needs the devkit + data
-    nusc = NuScenes(version=args.version, dataroot=args.dataroot,
-                    verbose=False)
+    try:
+        from nuscenes import NuScenes  # optional: devkit + data
+        nusc = NuScenes(version=args.version, dataroot=args.dataroot,
+                        verbose=False)
+    except ImportError:  # devkit-free over the raw JSON tables
+        from lvv_tpu.data.nuscenes_tables import TableNuScenes
+        nusc = TableNuScenes(version=args.version, dataroot=args.dataroot)
     out_dir = pathlib.Path(args.out) / args.split
     out_dir.mkdir(parents=True, exist_ok=True)
 
