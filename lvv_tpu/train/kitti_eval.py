@@ -45,8 +45,60 @@ def match_sample(pred_boxes, pred_scores, gt_boxes, iou_thresh: float,
     return scores, tp, len(gt_boxes)
 
 
+def get_thresholds(scores: np.ndarray, num_gt: int,
+                   num_sample_pts: int = 41) -> np.ndarray:
+    """Exact port of the official score-threshold sampler
+    (reference kitti_object_eval_python/eval.py:10-27): walk the
+    descending TP scores, emitting one threshold per ~1/40 recall step,
+    preferring the side of each recall interval nearer the sample point."""
+    scores = np.sort(np.asarray(scores, np.float64))[::-1]
+    current_recall = 0.0
+    thresholds = []
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1.0 / (num_sample_pts - 1.0)
+    return np.asarray(thresholds)
+
+
+def ap_r40_official(all_scores: np.ndarray, all_tp: np.ndarray, n_gt: int,
+                    weights: np.ndarray | None = None,
+                    num_sample_pts: int = 41) -> float:
+    """Official AP_R40: precision evaluated only at the recall-sampled
+    score thresholds (41 sample points; unreached points stay 0), then the
+    right-max monotone envelope, then the mean over points 1..40
+    (reference eval.py eval_class:476-545 + get_mAP_R40:701-704). With
+    `weights` the numerator becomes the weighted sum (AOS, eval.py:263-270).
+
+    Identical to the continuous-PR ap_r40 once n_gt >> 40; on tiny scenes
+    it is strictly the official (smaller) value since only len(thresholds)
+    of the 41 sample points carry precision."""
+    if n_gt == 0 or len(all_scores) == 0:
+        return 0.0
+    order = np.argsort(-np.asarray(all_scores, np.float64))
+    s = np.asarray(all_scores, np.float64)[order]
+    t = np.asarray(all_tp, bool)[order]
+    w = np.asarray(weights, np.float64)[order] if weights is not None \
+        else t.astype(np.float64)
+    thresholds = get_thresholds(s[t], n_gt, num_sample_pts)
+    prec = np.zeros(num_sample_pts)
+    cum_w = np.cumsum(w)
+    for i, th in enumerate(thresholds):
+        k = int(np.sum(s >= th))        # dets below the threshold vanish
+        prec[i] = cum_w[k - 1] / max(k, 1) if k else 0.0
+    for i in range(num_sample_pts):
+        prec[i] = prec[i:].max()
+    return float(prec[1:].sum() / (num_sample_pts - 1))
+
+
 def ap_r40(all_scores: np.ndarray, all_tp: np.ndarray, n_gt: int) -> float:
-    """40-recall-point AP (reference eval.py get_mAP_R40 semantics)."""
+    """40-recall-point AP over the continuous PR curve (reference
+    eval.py get_mAP_R40 semantics in the n_gt >> 40 regime; see
+    ap_r40_official for the exact sampled formulation)."""
     if n_gt == 0 or len(all_scores) == 0:
         return 0.0
     order = np.argsort(-all_scores)
@@ -166,7 +218,9 @@ def evaluate_kitti_official(gts: Sequence[Dict], preds: Sequence[Dict],
                             classes: Sequence[str],
                             iou_thresholds: Dict[str, float] | None = None,
                             mode: str = "3d",
-                            compute_aos: bool = False) -> Dict[str, float]:
+                            compute_aos: bool = False,
+                            score_sampling: bool = True
+                            ) -> Dict[str, float]:
     """Official-style per-difficulty AP_R40 (reference eval.py eval_class +
     compute_statistics_jit). Modes: '3d' / 'bev' (rotated LiDAR IoU on
     boxes [G, 7]) / 'bbox' (image-plane IoU on bbox [G, 4], with DontCare
@@ -253,11 +307,18 @@ def evaluate_kitti_official(gts: Sequence[Dict], preds: Sequence[Dict],
             scores = np.concatenate(scores_l) if scores_l else np.zeros(0)
             tps = np.concatenate(tp_l) if tp_l else np.zeros(0, bool)
             sims = np.concatenate(sim_l) if sim_l else np.zeros(0)
-            ap = ap_r40(scores, tps, n_gt)
+            # score_sampling=True is the official devkit formulation
+            # (41 recall-sampled thresholds); False keeps the continuous
+            # PR curve, which matches it when n_gt >> 40 and is the
+            # intuitive value on toy scenes.
+            ap = ap_r40_official(scores, tps, n_gt) if score_sampling \
+                else ap_r40(scores, tps, n_gt)
             out[f"{cls}_{DIFFICULTY_NAMES[difficulty]}_ap_{mode}_R40"] = ap
             aps.append(ap)
             if compute_aos:
-                aos = ap_r40_weighted(scores, tps, sims, n_gt)
+                aos = ap_r40_official(scores, tps, n_gt, weights=sims) \
+                    if score_sampling else \
+                    ap_r40_weighted(scores, tps, sims, n_gt)
                 out[f"{cls}_{DIFFICULTY_NAMES[difficulty]}_aos_R40"] = aos
                 aoss.append(aos)
         out[f"mAP_{mode}_{DIFFICULTY_NAMES[difficulty]}"] = \

@@ -59,20 +59,20 @@ def test_official_difficulty_buckets():
     pred = [{"name": np.array(["Car", "Car"]),
              "boxes": np.array([box7(0, 0), box7(10, 0)], np.float32),
              "score": np.array([0.9, 0.8])}]
-    res = evaluate_kitti_official([gt], pred, ["Car"])
+    res = evaluate_kitti_official([gt], pred, ["Car"], score_sampling=False)
     assert res["Car_easy_ap_3d_R40"] == pytest.approx(1.0)
     assert res["Car_hard_ap_3d_R40"] == pytest.approx(1.0)
     # a detection on the Van is likewise ignored (similar class)
     pred2 = [{"name": np.array(["Car", "Car"]),
               "boxes": np.array([box7(0, 0), box7(20, 0)], np.float32),
               "score": np.array([0.9, 0.8])}]
-    res2 = evaluate_kitti_official([gt], pred2, ["Car"])
+    res2 = evaluate_kitti_official([gt], pred2, ["Car"], score_sampling=False)
     assert res2["Car_easy_ap_3d_R40"] == pytest.approx(1.0)
     # but a detection on empty space IS a false positive
     pred3 = [{"name": np.array(["Car", "Car"]),
               "boxes": np.array([box7(0, 0), box7(99, 99)], np.float32),
               "score": np.array([0.5, 0.9])}]
-    res3 = evaluate_kitti_official([gt], pred3, ["Car"])
+    res3 = evaluate_kitti_official([gt], pred3, ["Car"], score_sampling=False)
     assert res3["Car_easy_ap_3d_R40"] < 1.0
 
 
@@ -103,7 +103,7 @@ def test_official_bbox_mode_with_dontcare():
                               np.float64),
              "boxes": np.zeros((2, 7), np.float32),
              "score": np.array([0.9, 0.8])}]
-    res = evaluate_kitti_official([gt], pred, ["Car"], mode="bbox")
+    res = evaluate_kitti_official([gt], pred, ["Car"], mode="bbox", score_sampling=False)
     assert res["Car_easy_ap_bbox_R40"] == pytest.approx(1.0)
     # same stray outside any DontCare region IS an FP
     pred2 = [{"name": np.array(["Car", "Car"]),
@@ -111,7 +111,7 @@ def test_official_bbox_mode_with_dontcare():
                                np.float64),
               "boxes": np.zeros((2, 7), np.float32),
               "score": np.array([0.9, 0.95])}]
-    res2 = evaluate_kitti_official([gt], pred2, ["Car"], mode="bbox")
+    res2 = evaluate_kitti_official([gt], pred2, ["Car"], mode="bbox", score_sampling=False)
     assert res2["Car_easy_ap_bbox_R40"] < 1.0
 
 
@@ -131,7 +131,7 @@ def test_official_det_height_ignored():
              "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0],
                                 [50, 50, 0, 4, 2, 1.5, 0.0]], np.float32),
              "score": np.array([0.9, 0.95])}]
-    res = evaluate_kitti_official([gt], pred, ["Car"], mode="bbox")
+    res = evaluate_kitti_official([gt], pred, ["Car"], mode="bbox", score_sampling=False)
     assert res["Car_easy_ap_bbox_R40"] == pytest.approx(1.0)
 
 
@@ -150,11 +150,76 @@ def test_aos_orientation_similarity():
                 "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]], np.float32),
                 "alpha": np.array([0.0]), "score": np.array([0.9])}]
     res = evaluate_kitti_official([gt], perfect, ["Car"], mode="bbox",
-                                  compute_aos=True)
+                                  compute_aos=True, score_sampling=False)
     assert res["Car_easy_aos_R40"] == pytest.approx(1.0)
     # flipped orientation: bbox AP still 1, AOS collapses to ~0
     flipped = [{**perfect[0], "alpha": np.array([np.pi])}]
     res2 = evaluate_kitti_official([gt], flipped, ["Car"], mode="bbox",
-                                   compute_aos=True)
+                                   compute_aos=True, score_sampling=False)
     assert res2["Car_easy_ap_bbox_R40"] == pytest.approx(1.0)
     assert res2["Car_easy_aos_R40"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ------------------------------------------------- official score sampling
+
+def test_get_thresholds_small():
+    from lvv_tpu.train.kitti_eval import get_thresholds
+    # 2 gts, both recalled: every TP score becomes a threshold
+    np.testing.assert_allclose(get_thresholds([0.9, 0.8], 2), [0.9, 0.8])
+    # no TPs -> no thresholds
+    assert len(get_thresholds([], 5)) == 0
+
+
+def test_ap_r40_official_tiny_scene_is_sampled():
+    from lvv_tpu.train.kitti_eval import ap_r40_official
+    # perfect 2-det/2-gt scene: only thresholds[1] lands inside the
+    # 1..40 sample window -> AP = 1/40 (the official value, NOT 1.0)
+    ap = ap_r40_official(np.array([0.9, 0.8]),
+                         np.array([True, True]), 2)
+    assert ap == pytest.approx(1 / 40)
+
+
+def test_ap_r40_official_converges_to_continuous():
+    from lvv_tpu.train.kitti_eval import ap_r40, ap_r40_official
+    rng = np.random.default_rng(0)
+    n = 800
+    scores = rng.uniform(size=n)
+    # decreasing tp probability with score rank -> a realistic PR curve
+    order = np.argsort(-scores)
+    tp = np.zeros(n, bool)
+    tp[order] = rng.uniform(size=n) < np.linspace(0.95, 0.2, n)
+    n_gt = int(tp.sum()) + 50
+    a_cont = ap_r40(scores, tp, n_gt)
+    a_off = ap_r40_official(scores, tp, n_gt)
+    # nearest-side threshold rounding can land either side of the grid,
+    # so the two formulations agree only asymptotically
+    assert a_off == pytest.approx(a_cont, abs=0.02)
+
+
+def test_ap_r40_official_dense_perfect_saturates():
+    from lvv_tpu.train.kitti_eval import ap_r40_official
+    n = 200
+    scores = np.linspace(1.0, 0.5, n)
+    ap = ap_r40_official(scores, np.ones(n, bool), n)
+    assert ap == pytest.approx(1.0, abs=1 / 40)
+
+
+def test_official_eval_score_sampling_default():
+    # default (official) formulation yields the sampled value on the toy
+    # scene; score_sampling=False restores the continuous-PR intuition
+    gt = {"name": np.array(["Car"]),
+          "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]], np.float32),
+          "occluded": np.array([0]), "truncated": np.array([0.0]),
+          "bbox_height": np.array([50.0])}
+    pred = [{"name": np.array(["Car"]),
+             "boxes": np.array([[0, 0.02, 0, 4, 2, 1.5, 0.0]], np.float32),
+             "score": np.array([0.9]),
+             "bbox_height": np.array([50.0])}]
+    from lvv_tpu.train.kitti_eval import evaluate_kitti_official
+    # official quirk: a 1-gt scene fills only sample point 0, which R40
+    # excludes -> AP exactly 0 even for a perfect detection
+    res = evaluate_kitti_official([gt], pred, ["Car"])
+    assert res["Car_easy_ap_3d_R40"] == 0.0
+    res2 = evaluate_kitti_official([gt], pred, ["Car"],
+                                   score_sampling=False)
+    assert res2["Car_easy_ap_3d_R40"] == pytest.approx(1.0)
