@@ -90,8 +90,11 @@ def test_once_feeds_loader_and_cli(tmp_path, monkeypatch):
     spec.loader.exec_module(mod)
     monkeypatch.setattr("sys.argv", [
         "create_once_infos.py", "--raw-dir", str(root), "--save-dir",
-        str(save), "--splits", "train"])
+        str(save), "--splits", "train", "--with-gt-db",
+        "--gt-db-min-points", "1"])
     assert mod.main() == 0
+    db = pickle.loads((save / "once_gt_database_train.pkl").read_bytes())
+    assert len(db["classes"]["Car"]) == 1
     infos = pickle.loads((save / "once_infos_train.pkl").read_bytes())
     ds = ONCEDetection(dataroot=str(root / "data"), infos=infos,
                        point_range=(-75, -75, -5, 75, 75, 5),

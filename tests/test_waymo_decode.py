@@ -338,6 +338,7 @@ def test_decoded_sequence_feeds_waymo_detection(tmp_path):
 
 
 def test_create_waymo_infos_cli(tmp_path, monkeypatch):
+    import pickle
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "create_waymo_infos",
@@ -351,8 +352,11 @@ def test_create_waymo_infos_cli(tmp_path, monkeypatch):
     save = tmp_path / "save"
     monkeypatch.setattr("sys.argv", [
         "create_waymo_infos.py", "--raw-dir", str(raw), "--save-dir",
-        str(save), "--splits", "train", "--verify-crc"])
+        str(save), "--splits", "train", "--verify-crc", "--with-gt-db",
+        "--gt-db-min-points", "1"])
     assert mod.main() == 0
+    db = pickle.loads((save / "waymo_gt_database_train.pkl").read_bytes())
+    assert len(db["classes"]["Vehicle"]) == 3   # one car per frame
     import pickle
     infos = pickle.loads((save / "waymo_infos_train.pkl").read_bytes())
     assert len(infos) == 3

@@ -18,6 +18,21 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from lvv_tpu.data import once_decode as odec  # noqa: E402
 
+def _build_gt_db(dataset_cls, dataroot, infos, classes, out_path,
+                 point_range, max_points, min_points=5):
+    """Shared gt-paste database build over the decoded infos (reference
+    create_groundtruth_database flows; database consumed by
+    lvv_tpu.data.gt_sampler.GTSampler)."""
+    from lvv_tpu.data.gt_sampler import build_gt_database
+    ds = dataset_cls(dataroot=str(dataroot), infos=infos,
+                     point_range=point_range, max_points=max_points,
+                     max_gt=256)
+    db = build_gt_database(ds, str(out_path), list(classes),
+                           min_points=min_points)
+    for k, v in sorted(db["classes"].items()):
+        print(f"gt database {k}: {len(v)}")
+
+
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -27,6 +42,10 @@ def main() -> int:
     ap.add_argument("--splits", nargs="+", default=["train", "val"])
     ap.add_argument("--no-point-counts", action="store_true",
                     help="skip num_points_in_gt (no .bin reads)")
+    ap.add_argument("--gt-db-min-points", type=int, default=5)
+    ap.add_argument("--with-gt-db", action="store_true",
+                    help="build the gt-paste database from the train "
+                         "split (reference create_groundtruth_database)")
     args = ap.parse_args()
 
     out = odec.create_once_infos(args.raw_dir, args.save_dir,
@@ -35,6 +54,17 @@ def main() -> int:
     for split, infos in out.items():
         print(f"[{split}] {len(infos)} frames -> "
               f"{args.save_dir}/once_infos_{split}.pkl")
+    if args.with_gt_db and out.get("train"):
+        from lvv_tpu.data.detection_dataset import ONCEDetection
+        raw = pathlib.Path(args.raw_dir)
+        data_dir = raw / "data" if (raw / "data").is_dir() else raw
+        _build_gt_db(ONCEDetection, data_dir, out["train"],
+                     ONCEDetection.CLASSES,
+                     pathlib.Path(args.save_dir)
+                     / "once_gt_database_train.pkl",
+                     point_range=(-80, -80, -5, 80, 80, 5),
+                     max_points=400000,
+                     min_points=args.gt_db_min_points)
     return 0
 
 

@@ -28,6 +28,21 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from lvv_tpu.data import waymo_decode as wd  # noqa: E402
 
+def _build_gt_db(dataset_cls, dataroot, infos, classes, out_path,
+                 point_range, max_points, min_points=5):
+    """Shared gt-paste database build over the decoded infos (reference
+    create_groundtruth_database flows; database consumed by
+    lvv_tpu.data.gt_sampler.GTSampler)."""
+    from lvv_tpu.data.gt_sampler import build_gt_database
+    ds = dataset_cls(dataroot=str(dataroot), infos=infos,
+                     point_range=point_range, max_points=max_points,
+                     max_gt=256)
+    db = build_gt_database(ds, str(out_path), list(classes),
+                           min_points=min_points)
+    for k, v in sorted(db["classes"].items()):
+        print(f"gt database {k}: {len(v)}")
+
+
 
 def sequence_files(raw_dir: pathlib.Path, split: str):
     imageset = raw_dir / "ImageSets" / f"{split}.txt"
@@ -53,6 +68,10 @@ def main() -> int:
                     help="drop the second lidar return")
     ap.add_argument("--no-labels", action="store_true")
     ap.add_argument("--verify-crc", action="store_true")
+    ap.add_argument("--gt-db-min-points", type=int, default=5)
+    ap.add_argument("--with-gt-db", action="store_true",
+                    help="build the gt-paste database from the train "
+                         "split (reference create_waymo_gt_database)")
     args = ap.parse_args()
 
     raw_dir = pathlib.Path(args.raw_dir)
@@ -82,6 +101,14 @@ def main() -> int:
         with open(out, "wb") as fh:
             pickle.dump(all_infos, fh)
         print(f"[{split}] wrote {len(all_infos)} infos -> {out}")
+        if args.with_gt_db and split == "train" and all_infos:
+            from lvv_tpu.data.detection_dataset import WaymoDetection
+            _build_gt_db(WaymoDetection, proc_dir, all_infos,
+                         WaymoDetection.CLASSES,
+                         save_dir / "waymo_gt_database_train.pkl",
+                         point_range=(-80, -80, -5, 80, 80, 5),
+                         max_points=400000,
+                     min_points=args.gt_db_min_points)
     return 0
 
 
