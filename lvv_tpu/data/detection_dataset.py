@@ -196,8 +196,12 @@ class WaymoDetection(DetectionDatasetBase):
 
     def __init__(self, dataroot: Optional[str] = None, infos=None,
                  info_path: Optional[str] = None,
-                 filter_empty_boxes: bool = True, **kw):
-        kw.setdefault("num_point_features", 5)
+                 filter_empty_boxes: bool = True,
+                 sequence_offsets: Optional[Sequence[int]] = None, **kw):
+        # multi-frame mode (reference SEQUENCE_CONFIG.SAMPLE_OFFSET, e.g.
+        # (-4, 0) for MPPNet's 4 past frames) adds a 6th timestamp channel
+        kw.setdefault("num_point_features",
+                      6 if sequence_offsets is not None else 5)
         super().__init__(**kw)
         self.root = pathlib.Path(dataroot) if dataroot else None
         if infos is None:
@@ -206,12 +210,25 @@ class WaymoDetection(DetectionDatasetBase):
                 infos = pickle.load(f)
         self.infos = list(infos)
         self.filter_empty_boxes = filter_empty_boxes
+        self.sequence_offsets = tuple(sequence_offsets) \
+            if sequence_offsets is not None else None
+        if self.sequence_offsets is not None:
+            # per-sequence ordered info lists + each info's position,
+            # mirroring the reference's seq_name_to_infos positional
+            # indexing (waymo_dataset.py:295)
+            self._seq_infos: Dict[str, List[Dict]] = {}
+            self._seq_pos: List[int] = []
+            for info in self.infos:
+                seq = info["point_cloud"]["lidar_sequence"]
+                lst = self._seq_infos.setdefault(seq, [])
+                self._seq_pos.append(len(lst))
+                lst.append(info)
 
     def __len__(self):
         return len(self.infos)
 
-    def load_raw(self, index: int) -> Dict:
-        info = self.infos[index]
+    def _frame_feats(self, info: Dict) -> np.ndarray:
+        """One frame's [N, 5] features (NLZ-filtered, tanh intensity)."""
         pc = info["point_cloud"]
         path = pathlib.Path(pc["lidar_sequence"]) / \
             f"{pc['sample_idx']:04d}.npy"
@@ -219,10 +236,53 @@ class WaymoDetection(DetectionDatasetBase):
             path = self.root / path
         pts = np.load(path).astype(np.float32)          # [N, 6]
         pts = pts[pts[:, 5] == -1] if pts.shape[1] > 5 else pts
-        feats = np.concatenate(
+        return np.concatenate(
             [pts[:, :3], np.tanh(pts[:, 3:4]), pts[:, 4:5]], axis=1)
-        out = {"points": feats,
-               "token": f"{pc['lidar_sequence']}_{pc['sample_idx']}"}
+
+    def _sequence_points(self, index: int, feats: np.ndarray):
+        """Accumulate past frames into the current one (reference
+        get_sequence_data, waymo_dataset.py:250-337): prior points go
+        lidar -> global via their pose, then global -> current lidar via
+        the current pose inverse; each frame gets a 0.1 s-per-step
+        timestamp channel; prior frames drop ego-radius points."""
+        info = self.infos[index]
+        seq = info["point_cloud"]["lidar_sequence"]
+        seq_list = self._seq_infos[seq]
+        pos = self._seq_pos[index]
+        off0, off1 = self.sequence_offsets
+        pos_pre = np.clip(pos + np.arange(off0, off1), 0, None)[::-1]
+        pose_cur = np.asarray(info["pose"], np.float64).reshape(4, 4)
+        cur = np.concatenate(
+            [feats, np.zeros((len(feats), 1), np.float32)], axis=1)
+        chunks, counts = [cur], [len(cur)]
+        inv_cur = np.linalg.inv(pose_cur)
+        for p in pos_pre:
+            info_pre = seq_list[int(p)]
+            f_pre = self._frame_feats(info_pre)
+            pose_pre = np.asarray(info_pre["pose"], np.float64
+                                  ).reshape(4, 4)
+            xyz = f_pre[:, :3] @ pose_pre[:3, :3].T + pose_pre[:3, 3]
+            xyz = xyz @ inv_cur[:3, :3].T + inv_cur[:3, 3]
+            ts = 0.1 * (pos - int(p))
+            f_pre = np.concatenate(
+                [xyz.astype(np.float32), f_pre[:, 3:],
+                 np.full((len(f_pre), 1), ts, np.float32)], axis=1)
+            keep = ~((np.abs(f_pre[:, 0]) < 1.0)
+                     & (np.abs(f_pre[:, 1]) < 1.0))
+            f_pre = f_pre[keep]
+            chunks.append(f_pre)
+            counts.append(len(f_pre))
+        return np.concatenate(chunks, axis=0), np.asarray(counts, np.int32)
+
+    def load_raw(self, index: int) -> Dict:
+        info = self.infos[index]
+        pc = info["point_cloud"]
+        feats = self._frame_feats(info)
+        out = {"token": f"{pc['lidar_sequence']}_{pc['sample_idx']}"}
+        if self.sequence_offsets is not None:
+            feats, frame_counts = self._sequence_points(index, feats)
+            out["frame_counts"] = frame_counts
+        out["points"] = feats
         annos = info.get("annos")
         if annos is not None and len(annos.get("name", [])):
             names = np.asarray(annos["name"])

@@ -362,3 +362,58 @@ def test_create_waymo_infos_cli(tmp_path, monkeypatch):
     assert len(infos) == 3
     seq = infos[0]["point_cloud"]["lidar_sequence"]
     assert (save / "waymo_processed_data" / seq / "0000.npy").exists()
+
+
+def test_waymo_multiframe_sequence_accumulation(tmp_path):
+    """get_sequence_data parity (reference waymo_dataset.py:250-337):
+    prior frames transform lidar->global->current-lidar, gain a 0.1 s/step
+    timestamp channel, and drop ego-radius points; counts are per frame."""
+    from lvv_tpu.data.detection_dataset import WaymoDetection
+    seq_dir = tmp_path / "proc" / "seg-m"
+    seq_dir.mkdir(parents=True)
+    # a static GLOBAL point at (10, 0, 1); ego advances +2 m in x per frame
+    infos = []
+    for i in range(3):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 2.0 * i
+        # vehicle-frame coordinates of the static point + one ego point
+        pts = np.zeros((2, 6), np.float32)
+        pts[0, :3] = (10.0 - 2.0 * i, 0.0, 1.0)
+        pts[1, :3] = (0.2, 0.2, 0.0)            # inside the ego radius
+        pts[:, 5] = -1
+        np.save(seq_dir / ("%04d.npy" % i), pts)
+        infos.append({"point_cloud": {"num_features": 5,
+                                      "lidar_sequence": "seg-m",
+                                      "sample_idx": i},
+                      "frame_id": f"seg-m_{i:03d}", "pose": pose})
+    ds = WaymoDetection(dataroot=str(tmp_path / "proc"), infos=infos,
+                        sequence_offsets=(-2, 0),
+                        point_range=(-75, -75, -5, 75, 75, 5),
+                        max_points=16, max_gt=4)
+    raw = ds.load_raw(2)
+    pts, counts = raw["points"], raw["frame_counts"]
+    # ego-radius removal runs in CURRENT-frame coords (reference
+    # get_sequence_data:261-263,313): prior ego points moved away from
+    # the current ego, so nothing drops here
+    assert counts.tolist() == [2, 2, 2]
+    assert pts.shape == (6, 6)
+    # the static point lands at the SAME current-frame coords from every
+    # frame: current pose x=4 -> local (6, 0, 1); order cur, t-1, t-2
+    np.testing.assert_allclose(pts[0, :3], (6.0, 0.0, 1.0), atol=1e-5)
+    np.testing.assert_allclose(pts[2, :3], (6.0, 0.0, 1.0), atol=1e-5)
+    np.testing.assert_allclose(pts[4, :3], (6.0, 0.0, 1.0), atol=1e-5)
+    # prior ego points shifted back by the ego motion (2 m / frame)
+    np.testing.assert_allclose(pts[3, :3], (-1.8, 0.2, 0.0), atol=1e-5)
+    np.testing.assert_allclose(pts[5, :3], (-3.8, 0.2, 0.0), atol=1e-5)
+    # timestamps: 0 for current, 0.1 / 0.2 for one/two frames back
+    assert pts[0, 5] == 0.0 and pts[1, 5] == 0.0
+    np.testing.assert_allclose(pts[2:, 5], (0.1, 0.1, 0.2, 0.2))
+    # start-of-sequence clipping repeats frame 0 (reference np.clip);
+    # the repeated frame IS the current one, so its ego point drops
+    raw0 = ds.load_raw(0)
+    assert raw0["frame_counts"].tolist() == [2, 1, 1]
+    # single-frame mode unchanged: 5 features, no counts
+    ds1 = WaymoDetection(dataroot=str(tmp_path / "proc"), infos=infos,
+                         point_range=(-75, -75, -5, 75, 75, 5),
+                         max_points=16, max_gt=4)
+    assert ds1.load_raw(2)["points"].shape == (2, 5)
