@@ -519,12 +519,17 @@ class NuScenesDetection(DetectionDatasetBase):
     def __init__(self, dataroot: Optional[str] = None,
                  version: str = "v1.0-trainval", sweeps: int = 10,
                  nusc=None, infos: Optional[List[Dict]] = None,
+                 info_path: Optional[str] = None,
                  balanced_resampling: bool = False, **kw):
         kw.setdefault("num_point_features", 5)  # x y z intensity time_lag
         super().__init__(**kw)
         self.root = pathlib.Path(dataroot) if dataroot else None
         self.sweeps = sweeps
         from .nuscenes_utils import build_sample_info, finalize_info
+        if infos is None and info_path is not None:
+            import pickle
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
         if infos is None:
             if nusc is None:
                 try:

@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Detector training CLI (reference src/lidar-encoder/tools/train.py:68-229).
 
-Trains any registered detector family (see lvv_tpu.models.registry — 14
-assemblies from VoxelNeXt to BEVFusion) on nuScenes-style
-samples: each step loads point clouds + gt boxes, runs the jit'd train step,
-logs meters, checkpoints on an interval. Data loading requires the nuScenes
-devkit + raw data; --synthetic runs the full loop on generated scenes (smoke
-/ benchmark mode).
+Trains any registered detector family (see lvv_tpu.models.registry — 16
+assemblies from VoxelNeXt to BEVFusion) on real datasets or synthetic
+scenes: each step loads point clouds + gt boxes, runs the jit'd train
+step, logs meters, checkpoints on an interval.
+
+Real data: --dataset <registry name> + --dataroot/--info-path select any
+ported suite (NuScenes / Kitti / Waymo / ONCE / Lyft / Pandaset / Argo2 /
+Custom); ingestion is devkit-free via the tools/create_*_infos.py CLIs.
+--synthetic runs the full loop on generated scenes (smoke / benchmark).
 """
 from __future__ import annotations
 
@@ -46,9 +49,22 @@ def main() -> None:
     p.add_argument("--config", default=None)
     p.add_argument("--set", action="append", default=[], dest="overrides")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny_config shapes (CPU smoke on real data)")
+    p.add_argument("--dataset", default="NuScenes",
+                   help="registry dataset name (real-data mode)")
+    p.add_argument("--dataroot", default=None)
+    p.add_argument("--info-path", default=None,
+                   help="info pickle from tools/create_*_infos.py")
+    p.add_argument("--max-gt", type=int, default=128)
+    p.add_argument("--augment", action="store_true",
+                   help="world flip/rot/scale augmentation")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="intra-run checkpoint interval (0 = end only)")
     p.add_argument("--out", default="runs/detector")
     args = p.parse_args()
 
@@ -61,20 +77,45 @@ def main() -> None:
     from lvv_tpu.train.detector import make_detector_train_step
 
     cfg = (C.load(C.VQAConfig, args.config, args.overrides) if args.config
-           else C.apply_overrides(C.tiny_config() if args.synthetic
-                                  else C.default_config(), args.overrides))
+           else C.apply_overrides(
+               C.tiny_config() if (args.synthetic or args.tiny)
+               else C.default_config(), args.overrides))
     detector = args.detector or (
         C.load_file(args.config).get("_detector") if args.config else None
     ) or "VoxelNeXt"
     det = build_detector(detector, cfg.model.voxelnext, cfg.voxelize)
 
     rng = np.random.default_rng(0)
-    if not args.synthetic:
-        raise SystemExit("real-data detector training needs the nuScenes "
-                         "devkit + dataroot; use --synthetic for the smoke "
-                         "loop (real path lands with the dataset port)")
-    batch = synthetic_batch(rng, args.batch, cfg.voxelize.max_points // 4,
-                            8, cfg.voxelize.point_range)
+    if args.synthetic:
+        fixed = synthetic_batch(rng, args.batch,
+                                cfg.voxelize.max_points // 4, 8,
+                                cfg.voxelize.point_range)
+
+        def batch_stream():
+            while True:
+                yield fixed
+    else:
+        from lvv_tpu.data.detection_dataset import (DetectionDatasetBase,
+                                                    build_dataset)
+        ds = build_dataset(args.dataset, dataroot=args.dataroot,
+                           info_path=args.info_path,
+                           point_range=cfg.voxelize.point_range,
+                           max_points=cfg.voxelize.max_points,
+                           max_gt=args.max_gt, augment=args.augment)
+        if len(ds) == 0:
+            raise SystemExit("dataset is empty — check --info-path")
+        print(f"[data] {args.dataset}: {len(ds)} samples")
+
+        def batch_stream():
+            while True:                      # epoch loop
+                order = rng.permutation(len(ds))
+                for s in range(0, len(order) - args.batch + 1, args.batch):
+                    idx = order[s:s + args.batch]
+                    yield DetectionDatasetBase.collate(
+                        [ds[int(i)] for i in idx])
+
+    stream = batch_stream()
+    batch = next(stream)
 
     params = det.init(jax.random.PRNGKey(0),
                       jnp.asarray(batch["points"][0]),
@@ -89,14 +130,21 @@ def main() -> None:
     state = (params, tx.init(params["params"]))
     ckpt = CheckpointManager(args.out + "/checkpoints")
 
-    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    train_keys = ("points", "num_points", "gt_boxes", "gt_labels",
+                  "gt_mask")
     for i in range(args.steps):
         t0 = time.perf_counter()
+        jb = {k: jnp.asarray(batch[k]) for k in train_keys}
         state, metrics = step(state, jb)
+        if i + 1 < args.steps:
+            batch = next(stream)             # host load overlaps the step
         dt = time.perf_counter() - t0
-        print(f"[{i}] loss {float(metrics['loss']):.4f} "
-              f"hm {float(metrics['hm_loss']):.4f} "
-              f"reg {float(metrics['reg_loss']):.4f} {dt * 1e3:.0f} ms")
+        if i % args.log_every == 0 or i == args.steps - 1:
+            print(f"[{i}] loss {float(metrics['loss']):.4f} "
+                  f"hm {float(metrics['hm_loss']):.4f} "
+                  f"reg {float(metrics['reg_loss']):.4f} {dt * 1e3:.0f} ms")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            ckpt.save(state[0], step=i + 1, cfg=cfg)
     ckpt.save(state[0], step=args.steps, cfg=cfg)
     print(json.dumps({"steps": args.steps,
                       "final_loss": float(metrics["loss"])}))
