@@ -73,10 +73,24 @@ def log_frame(points: np.ndarray, boxes: Optional[np.ndarray] = None,
             quaternions=[rr.Quaternion(xyzw=q) for q in quats], **kw))
 
 
+def _log_encoded_image(entity: str, path) -> None:
+    """Version-shimmed jpg logging (rerun renamed this archetype twice)."""
+    if hasattr(rr, "EncodedImage"):
+        rr.log(entity, rr.EncodedImage(path=str(path)))
+    elif hasattr(rr, "ImageEncoded"):
+        rr.log(entity, rr.ImageEncoded(path=str(path)))
+
+
 def stream_scene(nusc, scene_token: str, entity: str = "scene",
                  rrd_path: Optional[str] = None,
-                 max_frames: Optional[int] = None) -> int:
-    """Stream one nuScenes scene's LIDAR_TOP (reference demo script)."""
+                 max_frames: Optional[int] = None,
+                 cameras: Sequence[str] = (),
+                 with_boxes: bool = False) -> int:
+    """Stream one nuScenes scene: LIDAR_TOP (+ optional camera jpgs and
+    sensor-frame gt boxes). Reference
+    rerun-visualization/nusc_rerun_demo_noargs.py:1-166 streams LIDAR +
+    6 cameras per keyframe; the duck-typed `nusc` means both the devkit
+    and TableNuScenes drive it."""
     _require_rerun()
     rr.init("lvv_tpu_scene", spawn=rrd_path is None)
     if rrd_path:
@@ -89,7 +103,32 @@ def stream_scene(nusc, scene_token: str, entity: str = "scene",
         sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
         path = pathlib.Path(nusc.dataroot) / sd["filename"]
         pts = np.fromfile(path, np.float32).reshape(-1, 5)[:, :4]
-        log_frame(pts, t=sample["timestamp"] / 1e6, entity=entity)
+        boxes = labels = None
+        if with_boxes and sample.get("anns"):
+            from ..data.nuscenes_utils import box_global_to_sensor
+            cs = nusc.get("calibrated_sensor",
+                          sd["calibrated_sensor_token"])
+            pose = nusc.get("ego_pose", sd["ego_pose_token"])
+            rows = []
+            for ann_tok in sample["anns"]:
+                ann = nusc.get("sample_annotation", ann_tok)
+                c, yaw, _ = box_global_to_sensor(
+                    ann["translation"], ann["rotation"], pose, cs)
+                w, l, h = ann["size"]
+                rows.append([c[0], c[1], c[2], l, w, h, yaw])
+            boxes = np.asarray(rows, np.float32).reshape(-1, 7)
+            labels = np.zeros(len(boxes), np.int32)
+        log_frame(pts, boxes, labels, t=sample["timestamp"] / 1e6,
+                  entity=entity)
+        rr.set_time_seconds("time", sample["timestamp"] / 1e6)
+        for cam in cameras:
+            cam_tok = sample["data"].get(cam)
+            if not cam_tok:
+                continue
+            cam_sd = nusc.get("sample_data", cam_tok)
+            img = pathlib.Path(nusc.dataroot) / cam_sd["filename"]
+            if img.exists():
+                _log_encoded_image(f"{entity}/{cam}", img)
         tok = sample["next"]
         n += 1
     return n
