@@ -210,3 +210,45 @@ def create_argo2_infos(root, output_dir,
         with open(output_dir / f"argo2_infos_{split}.pkl", "wb") as f:
             pickle.dump(infos, f)
     return by_split
+
+
+# ----------------------------------------------------- result formatting
+
+def lidar_box_to_argo2(boxes) -> np.ndarray:
+    """[G, 7] (xyz lwh yaw) -> [G, 10] LABEL_ATTR cuboids
+    (argo2_dataset.py:406-414)."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 7)
+    return np.concatenate([boxes[:, :6], yaw_to_quat(boxes[:, 6])], axis=1)
+
+
+def format_results(outputs: Sequence[Dict], infos: Sequence[Dict],
+                   out_path=None):
+    """Detections -> the av2 submission DataFrame / feather file
+    (argo2_dataset.py:340-404): one row per box with LABEL_ATTR columns,
+    score, log_id, timestamp_ns (from the info uuid), UPPERCASE category;
+    rows sorted by descending score.
+
+    outputs: per-sample {"name" [G], "boxes" [G, 7], "score" [G]}
+    aligned with `infos`.
+    """
+    import pandas as pd
+    assert len(outputs) == len(infos)
+    frames = []
+    for out_i, info in zip(outputs, infos):
+        log_id, ts = info["uuid"].split("/")
+        df = pd.DataFrame(lidar_box_to_argo2(out_i["boxes"]),
+                          columns=list(LABEL_ATTR))
+        df["score"] = np.asarray(out_i["score"], np.float64)
+        df["log_id"] = log_id
+        df["timestamp_ns"] = int(ts)
+        df["category"] = [str(n).upper() for n in out_i["name"]]
+        frames.append(df)
+    dts = (pd.concat(frames).set_index(["log_id", "timestamp_ns"])
+           .sort_index())
+    dts = dts.sort_values("score", ascending=False).reset_index()
+    if out_path is not None:
+        out_path = str(out_path)
+        if not out_path.endswith(".feather"):
+            out_path += ".feather"
+        write_feather(dts, out_path)
+    return dts.set_index(["log_id", "timestamp_ns"]).sort_index()

@@ -233,3 +233,36 @@ def create_infos(root, save_dir,
             pickle.dump(all_infos, f)
         out[split] = all_infos
     return out
+
+
+# ----------------------------------------------------- result formatting
+
+def export_predictions(pred_boxes, pred_scores, names, pose: Dict,
+                       zrot: float, save_path=None):
+    """Normative-frame detections -> world-frame Pandaset prediction
+    DataFrame (pandaset_dataset.generate_prediction_dicts:272-355):
+    normative (x, y) -> pandaset-ego (-y, x), dims dx<->dy, centers
+    ego -> world via the pose, world_yaw = yaw - zrot (mod 2pi).
+    Optionally pickles to `<seq>/predictions/cuboids/<frame>.pkl.gz`.
+    """
+    import pandas as pd
+    boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 7)
+    ego_centers = np.stack([-boxes[:, 1], boxes[:, 0], boxes[:, 2]],
+                           axis=1)
+    world = ego_to_lidar_points(ego_centers, pose)
+    df = pd.DataFrame({
+        "position.x": world[:, 0],
+        "position.y": world[:, 1],
+        "position.z": world[:, 2],
+        "dimensions.x": boxes[:, 4],
+        "dimensions.y": boxes[:, 3],
+        "dimensions.z": boxes[:, 5],
+        "yaw": (boxes[:, 6] - zrot) % (2.0 * np.pi),
+        "label": np.asarray([str(n) for n in names]),
+        "score": np.asarray(pred_scores, np.float64),
+    })
+    if save_path is not None:
+        save_path = pathlib.Path(save_path)
+        save_path.parent.mkdir(parents=True, exist_ok=True)
+        df.to_pickle(save_path)
+    return df

@@ -255,3 +255,54 @@ def test_pandaset_cli(tmp_path, monkeypatch):
         str(out), "--splits", "train", "--sequences", "011"])
     assert mod.main() == 0
     assert (out / "pandaset_infos_train.pkl").exists()
+
+
+def test_argo2_format_results_roundtrip(tmp_path):
+    root, yaw = _write_argo2(tmp_path)
+    infos = adec.create_argo2_infos(root, tmp_path / "p",
+                                    splits=("train",))["train"]
+    outputs = [dict(name=["Regular_vehicle"],
+                    boxes=np.array([[10.0, 2.0, 0.8, 4.6, 1.9, 1.6, yaw]]),
+                    score=np.array([0.9])),
+               dict(name=[], boxes=np.zeros((0, 7)), score=np.zeros(0))]
+    out = tmp_path / "sub"
+    dts = adec.format_results(outputs, infos, out_path=out)
+    saved = adec.read_feather(tmp_path / "sub.feather")
+    assert len(saved) == 1
+    row = saved.iloc[0]
+    assert row["category"] == "REGULAR_VEHICLE"
+    assert row["log_id"] == "seg-aaa"
+    np.testing.assert_allclose(
+        [row["tx_m"], row["ty_m"], row["tz_m"]], (10.0, 2.0, 0.8))
+    # quaternion encodes the yaw
+    np.testing.assert_allclose(
+        adec.quat_to_yaw(np.array([[row["qw"], row["qx"], row["qy"],
+                                    row["qz"]]]))[0], yaw, atol=1e-9)
+    assert len(dts) == 1
+
+
+def test_pandaset_export_predictions_world_roundtrip(tmp_path):
+    # decode a cuboid to normative, export it back: the world-frame
+    # record must reproduce the original cuboid row
+    yaw = 0.7
+    root, pose = _write_pandaset(tmp_path, yaw=yaw, pos=(1.0, 2.0, 0.0))
+    boxes, names = pdec.decode_cuboids(
+        root / "dataset" / "011" / "annotations" / "cuboids" / "00.pkl.gz",
+        pose, device=0, category_map=None)
+    zrot = pdec.zrot_world_to_ego(pose)
+    out = tmp_path / "preds" / "00.pkl.gz"
+    df = pdec.export_predictions(boxes, [0.8], names, pose, zrot,
+                                 save_path=out)
+    assert out.exists()
+    orig = pd.read_pickle(root / "dataset" / "011" / "annotations"
+                          / "cuboids" / "00.pkl.gz")
+    orig = orig[orig["cuboids.sensor_id"] != 1]
+    np.testing.assert_allclose(df["position.x"], orig["position.x"],
+                               atol=1e-6)
+    np.testing.assert_allclose(df["position.y"], orig["position.y"],
+                               atol=1e-6)
+    np.testing.assert_allclose(df["dimensions.x"], orig["dimensions.x"])
+    np.testing.assert_allclose(df["yaw"] % (2 * np.pi),
+                               np.asarray(orig["yaw"]) % (2 * np.pi),
+                               atol=1e-9)
+    assert df["label"].iloc[0] == "Pickup Truck"
