@@ -88,6 +88,75 @@ def label_to_lidar_box(row: Dict, calib: Dict) -> np.ndarray:
                        0.0, 0.0], np.float32)
 
 
+def lidar_box_to_camera(box: np.ndarray, calib: Dict):
+    """Inverse of :func:`label_to_lidar_box` (reference
+    box_utils.boxes3d_lidar_to_kitti_camera): pcdet lidar box
+    [x y z(center) l w h yaw] -> (loc_cam bottom [3], (h, w, l), ry)."""
+    box = np.asarray(box, np.float64)
+    x, y, z, l, w, h, yaw = box[:7]
+    tm = calib["R0_rect"] @ calib["Tr_velo_to_cam"]
+    loc = (tm @ np.array([x, y, z - h / 2.0, 1.0]))[:3]
+    ry = -yaw - np.pi / 2.0
+    # KITTI convention keeps ry in [-pi, pi]
+    ry = (ry + np.pi) % (2.0 * np.pi) - np.pi
+    return loc, (h, w, l), float(ry)
+
+
+def camera_box_to_imagebox(loc_cam, dims_hwl, ry: float, calib: Dict,
+                           image_shape=None) -> np.ndarray:
+    """Project a camera-frame 3D box to its 2D image bbox (reference
+    box_utils.boxes3d_kitti_camera_to_imageboxes): 8 corners through P2,
+    min/max, optional clip to the image."""
+    h, w, l = dims_hwl
+    # bottom-centered corner template, y down (camera frame)
+    xs = np.array([l, l, -l, -l, l, l, -l, -l]) / 2.0
+    ys = np.array([0.0, 0, 0, 0, -h, -h, -h, -h]) + 0.0
+    zs = np.array([w, -w, -w, w, w, -w, -w, w]) / 2.0
+    c, s = np.cos(ry), np.sin(ry)
+    rot_x = c * xs + s * zs
+    rot_z = -s * xs + c * zs
+    corners = np.stack([rot_x + loc_cam[0], ys + loc_cam[1],
+                        rot_z + loc_cam[2], np.ones(8)], axis=0)
+    img = calib["P2"] @ corners                        # [3, 8]
+    uv = img[:2] / np.maximum(img[2:3], 1e-6)
+    bbox = np.array([uv[0].min(), uv[1].min(), uv[0].max(), uv[1].max()])
+    if image_shape is not None:
+        hh, ww = image_shape[:2]
+        bbox[[0, 2]] = np.clip(bbox[[0, 2]], 0, ww - 1)
+        bbox[[1, 3]] = np.clip(bbox[[1, 3]], 0, hh - 1)
+    return bbox
+
+
+def write_kitti_results(frame_id: str, boxes_lidar, scores, names,
+                        calib: Dict, out_dir, image_shape=None
+                        ) -> pathlib.Path:
+    """One frame's detections -> `<out_dir>/<frame_id>.txt` in the KITTI
+    submission label format (reference kitti_dataset.
+    generate_prediction_dicts:277-345: name, trunc -1, occ -1, alpha,
+    bbox, h w l, camera-frame bottom location, ry, score)."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"{frame_id}.txt"
+    lines = []
+    boxes_lidar = np.asarray(boxes_lidar, np.float64).reshape(-1, 9) \
+        if len(boxes_lidar) and np.asarray(boxes_lidar).shape[-1] == 9 \
+        else np.asarray(boxes_lidar, np.float64).reshape(-1, 7)
+    for k in range(len(boxes_lidar)):
+        b = boxes_lidar[k]
+        loc, (h, w, l), ry = lidar_box_to_camera(b, calib)
+        bbox = camera_box_to_imagebox(loc, (h, w, l), ry, calib,
+                                      image_shape=image_shape)
+        alpha = float(-np.arctan2(-b[1], b[0]) + ry)
+        lines.append(
+            f"{names[k]} -1 -1 {alpha:.4f} "
+            f"{bbox[0]:.4f} {bbox[1]:.4f} {bbox[2]:.4f} {bbox[3]:.4f} "
+            f"{h:.4f} {w:.4f} {l:.4f} "
+            f"{loc[0]:.4f} {loc[1]:.4f} {loc[2]:.4f} {ry:.4f} "
+            f"{float(scores[k]):.4f}")
+    path.write_text("\n".join(lines) + ("\n" if lines else ""))
+    return path
+
+
 @register_dataset("Kitti")
 class KittiDetection(DetectionDatasetBase):
     """root/

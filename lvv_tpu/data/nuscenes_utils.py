@@ -110,6 +110,116 @@ def box_global_to_sensor(center, rotation_q, ego_pose: Dict, calib: Dict,
     return c, quaternion_yaw(q), v[:2]
 
 
+def box_sensor_to_global(center, yaw: float, ego_pose: Dict,
+                          calib: Dict, velocity_sensor=(0.0, 0.0)):
+    """Inverse of :func:`box_global_to_sensor` (reference
+    lidar_nusc_box_to_global, nuscenes_utils.py:490-508): rotate/translate
+    through the calibrated sensor, then the ego pose. Returns
+    (center [3], rotation_q wxyz [4], velocity_xyz [3])."""
+    c = np.asarray(center, np.float64)
+    q = np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+    v = np.array([velocity_sensor[0], velocity_sensor[1], 0.0])
+    for rec in (calib, ego_pose):
+        r = quat_to_rot(rec["rotation"])
+        c = r @ c + np.asarray(rec["translation"], np.float64)
+        q = quat_mult(rec["rotation"], q)
+        v = r @ v
+    return c, q, v
+
+
+# Highest-frequency attribute per detection class (reference
+# cls_attr_dist argmax, nuscenes_utils.py:24-150; barrier/traffic_cone
+# have all-zero tables so the reference's max() returns the first key —
+# kept verbatim; the official eval ignores attributes for both).
+DEFAULT_ATTR = {
+    "barrier": "cycle.with_rider",
+    "bicycle": "cycle.without_rider",
+    "bus": "vehicle.moving",
+    "car": "vehicle.parked",
+    "construction_vehicle": "vehicle.parked",
+    "ignore": "vehicle.parked",
+    "motorcycle": "cycle.without_rider",
+    "pedestrian": "pedestrian.moving",
+    "traffic_cone": "cycle.with_rider",
+    "trailer": "vehicle.parked",
+    "truck": "vehicle.parked",
+}
+
+
+def _det_attribute(name: str, speed: float) -> str:
+    """Attribute heuristic (transform_det_annos_to_nusc_annos:524-541)."""
+    if speed > 0.2:
+        if name in ("car", "construction_vehicle", "bus", "truck",
+                    "trailer"):
+            return "vehicle.moving"
+        if name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+    else:
+        if name == "pedestrian":
+            return "pedestrian.standing"
+        if name == "bus":
+            return "vehicle.stopped"
+    return DEFAULT_ATTR.get(name, "vehicle.parked")
+
+
+def transform_dets_to_nusc_results(det_annos: Sequence[Dict], nusc,
+                                   meta: Optional[Dict] = None) -> Dict:
+    """Detections -> the official results.json structure (reference
+    transform_det_annos_to_nusc_annos:511-556 + boxes_lidar_to_nusenes).
+
+    det_annos: per-sample {"token", "boxes_lidar" [G, 7 or 9]
+    (x y z l w h yaw [vx vy] in the LIDAR frame), "score" [G],
+    "name" [G]}; `nusc` is any table handle (devkit or TableNuScenes).
+    """
+    results: Dict[str, List[Dict]] = {}
+    for det in det_annos:
+        token = det.get("token") or det["metadata"]["token"]
+        sd = nusc.get("sample_data",
+                      nusc.get("sample", token)["data"]["LIDAR_TOP"])
+        cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        pose = nusc.get("ego_pose", sd["ego_pose_token"])
+        boxes = np.asarray(det["boxes_lidar"], np.float64).reshape(
+            len(det["name"]), -1)
+        annos = []
+        for k in range(len(boxes)):
+            vel = tuple(boxes[k, 7:9]) if boxes.shape[1] >= 9 else (0.0,
+                                                                    0.0)
+            c, q, v = box_sensor_to_global(boxes[k, :3], boxes[k, 6],
+                                           pose, cs, vel)
+            name = str(det["name"][k])
+            annos.append({
+                "sample_token": token,
+                "translation": c.tolist(),
+                # wlh order, like the devkit Box (reference :547)
+                "size": [boxes[k, 4], boxes[k, 3], boxes[k, 5]],
+                "rotation": q.tolist(),
+                "velocity": v[:2].tolist(),
+                "detection_name": name,
+                "detection_score": float(det["score"][k]),
+                "attribute_name": _det_attribute(
+                    name, float(np.hypot(v[0], v[1]))),
+            })
+        results[token] = annos
+    return {
+        "results": results,
+        "meta": meta or {"use_camera": False, "use_lidar": True,
+                         "use_radar": False, "use_map": False,
+                         "use_external": False},
+    }
+
+
+def write_nusc_results(det_annos: Sequence[Dict], nusc, out_path,
+                       meta: Optional[Dict] = None) -> Dict:
+    """results.json for the official nuScenes eval server."""
+    import json
+    out = transform_dets_to_nusc_results(det_annos, nusc, meta=meta)
+    out_path = pathlib.Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return out
+
+
 def box_velocity(nusc, ann_token: str, max_time_diff: float = 1.5
                  ) -> np.ndarray:
     """Global-frame velocity from neighbouring annotations (devkit

@@ -60,3 +60,42 @@ def test_kitti_dataset_pipeline(kitti_root):
     assert s["points"].shape == (512, 4)
     assert int(s["gt_mask"].sum()) == 1
     assert s["gt_labels"][0] == 0  # Car
+
+
+def test_lidar_box_to_camera_roundtrip(tmp_path):
+    """lidar_box_to_camera must invert label_to_lidar_box exactly."""
+    from lvv_tpu.data.kitti_dataset import (camera_box_to_imagebox,
+                                            label_to_lidar_box,
+                                            lidar_box_to_camera,
+                                            write_kitti_results)
+    import numpy as np
+    calib = {
+        "Tr_velo_to_cam": np.array(
+            [[0, -1, 0, 0.1], [0, 0, -1, -0.2], [1, 0, 0, 0.3],
+             [0, 0, 0, 1.0]], np.float64),
+        "R0_rect": np.eye(4),
+        "P2": np.array([[700.0, 0, 600, 45.0], [0, 700, 180, -0.3],
+                        [0, 0, 1, 0.005]]),
+    }
+    row = {"dims_hwl": [1.5, 1.7, 4.2], "loc_cam": [2.0, 1.6, 15.0],
+           "ry": 0.4}
+    box = label_to_lidar_box(row, calib)
+    loc, hwl, ry = lidar_box_to_camera(box, calib)
+    np.testing.assert_allclose(loc, row["loc_cam"], atol=1e-5)
+    np.testing.assert_allclose(hwl, row["dims_hwl"], atol=1e-6)
+    assert ry == pytest.approx(row["ry"], abs=1e-6)
+    # image bbox: finite, ordered, clipped
+    bbox = camera_box_to_imagebox(loc, hwl, ry, calib,
+                                  image_shape=(375, 1242))
+    assert bbox[0] < bbox[2] and bbox[1] < bbox[3]
+    assert bbox[0] >= 0 and bbox[3] <= 374
+    # submission writer emits the 16-field KITTI label line
+    path = write_kitti_results("000123", box[None, :7], [0.77], ["Car"],
+                               calib, tmp_path, image_shape=(375, 1242))
+    fields = path.read_text().split()
+    assert len(fields) == 16
+    assert fields[0] == "Car" and float(fields[15]) == 0.77
+    np.testing.assert_allclose(
+        [float(x) for x in fields[8:11]], row["dims_hwl"], atol=1e-4)
+    np.testing.assert_allclose(
+        [float(x) for x in fields[11:14]], row["loc_cam"], atol=1e-4)

@@ -274,3 +274,54 @@ def test_make_nusc_handle_and_cam_paths(tmp_path):
     assert paths[0].endswith("samples/CAM_FRONT/c1.jpg")
     # the other five views are missing -> None (zero-fill downstream)
     assert paths[1:] == [None] * 5
+
+
+def test_box_sensor_to_global_roundtrip():
+    # global -> sensor (box_global_to_sensor) -> global must be identity
+    pose = dict(translation=[5.0, -2.0, 0.5], rotation=_quat_z(0.8))
+    calib = dict(translation=[1.0, 0.2, 1.6], rotation=_quat_z(-0.3))
+    center_g = np.array([20.0, 4.0, 1.0])
+    q_g = _quat_z(1.1)
+    vel_g = np.array([3.0, -1.0, 0.0])
+    c_s, yaw_s, v_s = nu.box_global_to_sensor(center_g, q_g, pose, calib,
+                                              velocity_global=vel_g)
+    c_back, q_back, v_back = nu.box_sensor_to_global(
+        c_s, yaw_s, pose, calib, velocity_sensor=v_s)
+    np.testing.assert_allclose(c_back, center_g, atol=1e-9)
+    np.testing.assert_allclose(nu.quaternion_yaw(q_back),
+                               nu.quaternion_yaw(q_g), atol=1e-9)
+    np.testing.assert_allclose(v_back, vel_g, atol=1e-9)
+
+
+def test_det_attribute_heuristic():
+    # reference transform_det_annos_to_nusc_annos:524-541
+    assert nu._det_attribute("car", 1.0) == "vehicle.moving"
+    assert nu._det_attribute("bicycle", 0.5) == "cycle.with_rider"
+    assert nu._det_attribute("pedestrian", 0.0) == "pedestrian.standing"
+    assert nu._det_attribute("bus", 0.1) == "vehicle.stopped"
+    assert nu._det_attribute("car", 0.0) == "vehicle.parked"
+    assert nu._det_attribute("trailer", 0.1) == "vehicle.parked"
+    assert nu._det_attribute("barrier", 0.0) == "cycle.with_rider"
+
+
+def test_write_nusc_results(tmp_path):
+    root = _write_tables(tmp_path)
+    nusc = TableNuScenes("v1.0-mini", str(root))
+    # one detection: the gt box of samp-2 back in the sensor frame
+    dets = [{"token": "samp-2",
+             "boxes_lidar": np.array(
+                 [[19.0, 0.0, -0.8, 4.5, 2.0, 1.6, 0.3, 4.0, 0.0]]),
+             "score": np.array([0.9]),
+             "name": np.array(["car"])}]
+    out = nu.write_nusc_results(dets, nusc, tmp_path / "results.json")
+    res = json.loads((tmp_path / "results.json").read_text())
+    anno = res["results"]["samp-2"][0]
+    # sensor (19, 0, -0.8) -> ego (20, 0, 1) -> global (22, 0, 1)
+    np.testing.assert_allclose(anno["translation"], (22.0, 0.0, 1.0),
+                               atol=1e-9)
+    np.testing.assert_allclose(anno["size"], (2.0, 4.5, 1.6))
+    np.testing.assert_allclose(anno["velocity"], (4.0, 0.0), atol=1e-9)
+    assert anno["attribute_name"] == "vehicle.moving"
+    assert anno["detection_name"] == "car"
+    assert res["meta"]["use_lidar"] is True
+    assert out["results"]["samp-2"][0]["detection_score"] == 0.9
