@@ -178,8 +178,9 @@ def transform_dets_to_nusc_results(det_annos: Sequence[Dict], nusc,
                       nusc.get("sample", token)["data"]["LIDAR_TOP"])
         cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
         pose = nusc.get("ego_pose", sd["ego_pose_token"])
-        boxes = np.asarray(det["boxes_lidar"], np.float64).reshape(
-            len(det["name"]), -1)
+        boxes = np.asarray(det["boxes_lidar"], np.float64)
+        boxes = boxes.reshape(len(det["name"]), -1) if boxes.size \
+            else boxes.reshape(0, 7)
         annos = []
         for k in range(len(boxes)):
             vel = tuple(boxes[k, 7:9]) if boxes.shape[1] >= 9 else (0.0,

@@ -40,6 +40,13 @@ def main() -> None:
                    help="re-evaluate as new checkpoints appear "
                         "(reference repeat_eval_ckpt)")
     p.add_argument("--out", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny_config shapes (CPU smoke on real data)")
+    p.add_argument("--submission", default=None,
+                   help="write suite-native submission artifacts here "
+                        "(nuScenes results.json / KITTI label txts / "
+                        "Argo2 feather / Pandaset prediction pkls; "
+                        "others: detections JSON)")
     args = p.parse_args()
 
     import jax
@@ -52,7 +59,8 @@ def main() -> None:
     from lvv_tpu.train.nuscenes_eval import evaluate
 
     cfg = (C.load(C.VQAConfig, args.config, args.overrides) if args.config
-           else C.apply_overrides(C.default_config(), args.overrides))
+           else C.apply_overrides(C.tiny_config() if args.tiny
+                                  else C.default_config(), args.overrides))
     detector = args.detector or (
         C.load_file(args.config).get("_detector") if args.config else None
     ) or "VoxelNeXt"
@@ -69,8 +77,10 @@ def main() -> None:
 
     n = len(ds) if not args.limit else min(args.limit, len(ds))
     sample0 = ds[0]
+    # detect() consumes xyz+intensity; init with the same slice so VFE
+    # weight shapes agree on 5-feature datasets (nuScenes/Waymo)
     params = det.init(jax.random.PRNGKey(0),
-                      jnp.asarray(sample0["points"]),
+                      jnp.asarray(sample0["points"][:, :4]),
                       jnp.asarray(sample0["num_points"]))
     seen = set()
 
@@ -119,7 +129,7 @@ def main() -> None:
         agg.update(score_records(records, classes, args.metric))
         agg["sec_per_example"] = float(np.mean(times[1:])) if len(times) > 1 \
             else float(times[0])
-        return agg
+        return agg, records
 
     def score_records(records, classes, metric):
         """Adapt per-sample detections to the chosen suite's anno format
@@ -188,17 +198,92 @@ def main() -> None:
                  for r in records]
         return lyft_eval(gts, preds, classes)
 
+    def write_submission(records, sub_dir):
+        """Suite-native submission artifacts (reference
+        generate_prediction_dicts / format_results per dataset)."""
+        classes = list(getattr(ds, "CLASSES",
+                               cfg.model.voxelnext.class_names))
+        names = np.asarray(classes)
+        sub = _pathlib.Path(sub_dir)
+        sub.mkdir(parents=True, exist_ok=True)
+
+        def nm(lbl):
+            return names[np.clip(lbl, 0, len(names) - 1)] if len(lbl) \
+                else np.asarray([], dtype=names.dtype)
+
+        if args.dataset == "NuScenes":
+            from lvv_tpu.data.dataset import make_nusc_handle
+            from lvv_tpu.data.nuscenes_utils import write_nusc_results
+            nusc = make_nusc_handle(args.data_root)
+            if nusc is None:
+                print("[submission] no nuScenes tables; skipping")
+                return
+            dets = [{"token": r["token"], "boxes_lidar": r["boxes"],
+                     "score": r["scores"], "name": nm(r["labels"])}
+                    for r in records]
+            write_nusc_results(dets, nusc, sub / "results_nusc.json")
+            print(f"[submission] {sub / 'results_nusc.json'}")
+        elif args.dataset == "Kitti":
+            from lvv_tpu.data.kitti_dataset import (parse_calib,
+                                                    write_kitti_results)
+            root = _pathlib.Path(args.data_root)
+            for r in records:
+                calib_path = root / "calib" / f"{r['token']}.txt"
+                if not calib_path.exists():
+                    continue
+                write_kitti_results(r["token"], r["boxes"][:, :7],
+                                    r["scores"], nm(r["labels"]),
+                                    parse_calib(calib_path), sub)
+            print(f"[submission] label txts under {sub}")
+        elif args.dataset == "Argo2":
+            from lvv_tpu.data.argo2_decode import format_results
+            outputs = [{"name": nm(r["labels"]),
+                        "boxes": r["boxes"][:, :7],
+                        "score": r["scores"]} for r in records]
+            format_results(outputs, ds.infos[:len(outputs)],
+                           out_path=sub / "argo2_dts.feather")
+            print(f"[submission] {sub / 'argo2_dts.feather'}")
+        elif args.dataset == "Pandaset":
+            from lvv_tpu.data.pandaset_decode import (export_predictions,
+                                                      pose_to_matrix)
+            for r, info in zip(records, ds.infos):
+                pose_vec = info.get("pose")
+                if pose_vec is None:
+                    continue
+                pose = dict(position=dict(x=pose_vec[0], y=pose_vec[1],
+                                          z=pose_vec[2]),
+                            heading=dict(w=pose_vec[3], x=pose_vec[4],
+                                         y=pose_vec[5], z=pose_vec[6]))
+                seq = str(info.get("sequence", "000"))
+                fid = int(info.get("frame_idx", 0))
+                export_predictions(
+                    r["boxes"][:, :7], r["scores"], nm(r["labels"]),
+                    pose, float(info.get("zrot_world_to_ego", 0.0)),
+                    save_path=sub / seq / "predictions" / "cuboids"
+                    / f"{fid:02d}.pkl.gz")
+            print(f"[submission] prediction pkls under {sub}")
+        else:
+            payload = [{"token": r["token"],
+                        "boxes": r["boxes"].tolist(),
+                        "scores": r["scores"].tolist(),
+                        "name": nm(r["labels"]).tolist()}
+                       for r in records]
+            (sub / "detections.json").write_text(json.dumps(payload))
+            print(f"[submission] {sub / 'detections.json'}")
+
     load_ckpt()
-    result = run_eval()
+    result, records = run_eval()
     out = {k: v for k, v in result.items() if k != "per_class"}
     print(json.dumps(out, indent=2, default=str))
     if args.out:
         _pathlib.Path(args.out).write_text(
             json.dumps(result, indent=2, default=str))
+    if args.submission:
+        write_submission(records, args.submission)
     while args.watch:
         time.sleep(30)
         if load_ckpt():
-            print(json.dumps({k: v for k, v in run_eval().items()
+            print(json.dumps({k: v for k, v in run_eval()[0].items()
                               if k != "per_class"}, indent=2, default=str))
 
 
