@@ -300,6 +300,24 @@ class WaymoDetection(DetectionDatasetBase):
         return out
 
 
+def stack_sequence_frames(points: np.ndarray, frame_counts,
+                          max_per_frame: int):
+    """Concatenated multi-frame points (WaymoDetection sequence mode) ->
+    the fixed ``[T, P, F]`` stack + clipped per-frame counts that
+    MPPNet's heads consume (lvv_tpu.models.mppnet: frame_points /
+    frame_counts). Frames beyond ``max_per_frame`` truncate, mirroring
+    every other fixed-capacity op here."""
+    frame_counts = np.asarray(frame_counts, np.int64)
+    out = np.zeros((len(frame_counts), max_per_frame, points.shape[1]),
+                   points.dtype)
+    kept = np.minimum(frame_counts, max_per_frame).astype(np.int32)
+    off = 0
+    for t, c in enumerate(frame_counts):
+        out[t, :kept[t]] = points[off:off + kept[t]]
+        off += int(c)
+    return out, kept
+
+
 @register_dataset("ONCE")
 class ONCEDetection(DetectionDatasetBase):
     """ONCE dataset over info dicts + .bin point files (reference

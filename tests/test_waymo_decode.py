@@ -417,3 +417,58 @@ def test_waymo_multiframe_sequence_accumulation(tmp_path):
                          point_range=(-75, -75, -5, 75, 75, 5),
                          max_points=16, max_gt=4)
     assert ds1.load_raw(2)["points"].shape == (2, 5)
+
+
+def test_sequence_points_feed_mppnet(tmp_path):
+    """Integration: WaymoDetection multi-frame output -> fixed [T, P, F]
+    stack -> MPPNetDetector forward (the reference's
+    waymo multi-frame SEQUENCE_CONFIG -> mppnet_head path)."""
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.config import tiny_config
+    from lvv_tpu.data.detection_dataset import (WaymoDetection,
+                                                stack_sequence_frames)
+    from lvv_tpu.models.mppnet import MPPNetDetector
+
+    seq_dir = tmp_path / "proc" / "seg-q"
+    seq_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    infos = []
+    for i in range(3):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 2.0 * i
+        pts = np.zeros((40, 6), np.float32)
+        pts[:, :3] = rng.uniform(-30, 30, (40, 3))
+        pts[:, 5] = -1
+        np.save(seq_dir / ("%04d.npy" % i), pts)
+        infos.append({"point_cloud": {"num_features": 5,
+                                      "lidar_sequence": "seg-q",
+                                      "sample_idx": i},
+                      "frame_id": f"seg-q_{i:03d}", "pose": pose})
+    ds = WaymoDetection(dataroot=str(tmp_path / "proc"), infos=infos,
+                        sequence_offsets=(-2, 0),
+                        point_range=(-75, -75, -40, 75, 75, 40),
+                        max_points=256, max_gt=4)
+    raw = ds.load_raw(2)
+    stack, counts = stack_sequence_frames(raw["points"],
+                                          raw["frame_counts"], 64)
+    assert stack.shape == (3, 64, 6) and counts.tolist() == [40, 40, 40]
+    # truncation clips counts
+    _, kept = stack_sequence_frames(raw["points"], raw["frame_counts"], 16)
+    assert kept.tolist() == [16, 16, 16]
+
+    cfg = tiny_config()
+    from lvv_tpu.models.voxelnext import Detections
+    props = Detections(
+        boxes=jnp.zeros((4, 9)).at[0].set(
+            jnp.asarray([5.0, 0.0, 0.0, 3, 3, 3, 0.0, 0, 0])),
+        scores=jnp.asarray([0.9, 0, 0, 0.0]),
+        labels=jnp.asarray([0, -1, -1, -1]),
+        count=jnp.int32(1))
+    m = MPPNetDetector(det_cfg=cfg.model.voxelnext, num_frames=3,
+                       samples=8)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(stack),
+                    jnp.asarray(counts), props)
+    dets = m.apply(params, jnp.asarray(stack), jnp.asarray(counts), props)
+    assert np.isfinite(np.asarray(dets.boxes)).all()
+
