@@ -163,11 +163,21 @@ class KittiDetection(DetectionDatasetBase):
          velodyne/000000.bin   label_2/000000.txt   calib/000000.txt"""
 
     def __init__(self, root: str, split_ids: Optional[List[str]] = None,
+                 split: Optional[str] = None,
                  class_names=KITTI_CLASSES, **kw):
         kw.setdefault("point_range", (0.0, -40.0, -3.0, 70.4, 40.0, 1.0))
         super().__init__(**kw)
         self.root = pathlib.Path(root)
         self.class_names = list(class_names)
+        if split_ids is None and split is not None:
+            # reference ImageSets convention (kitti_dataset.py set_split:
+            # data/kitti/ImageSets/{train,val,test,trainval}.txt)
+            for base in (self.root, self.root.parent):
+                f = base / "ImageSets" / f"{split}.txt"
+                if f.exists():
+                    split_ids = [ln.strip() for ln in
+                                 f.read_text().splitlines() if ln.strip()]
+                    break
         if split_ids is None:
             split_ids = sorted(p.stem for p in
                                (self.root / "velodyne").glob("*.bin"))

@@ -99,3 +99,21 @@ def test_lidar_box_to_camera_roundtrip(tmp_path):
         [float(x) for x in fields[8:11]], row["dims_hwl"], atol=1e-4)
     np.testing.assert_allclose(
         [float(x) for x in fields[11:14]], row["loc_cam"], atol=1e-4)
+
+
+def test_kitti_imagesets_split(tmp_path):
+    """ImageSets/<split>.txt selection (reference kitti_dataset.set_split)."""
+    from lvv_tpu.data.kitti_dataset import KittiDetection
+    import numpy as np
+    root = tmp_path / "training"
+    (root / "velodyne").mkdir(parents=True)
+    for i in range(3):
+        np.zeros((10, 4), np.float32).tofile(
+            root / "velodyne" / f"{i:06d}.bin")
+    (tmp_path / "ImageSets").mkdir()
+    (tmp_path / "ImageSets" / "val.txt").write_text("000001\n")
+    ds = KittiDetection(str(root), split="val", max_points=16, max_gt=4)
+    assert ds.ids == ["000001"]
+    # no split -> every velodyne frame
+    ds_all = KittiDetection(str(root), max_points=16, max_gt=4)
+    assert len(ds_all.ids) == 3
