@@ -79,7 +79,9 @@ def make_nusc_handle(dataroot: Optional[str]):
     try:
         from nuscenes import NuScenes
         return NuScenes(version=version, dataroot=dataroot, verbose=False)
-    except ImportError:
+    except Exception:
+        # devkit absent OR unable to load this table dump (e.g. a minimal
+        # dump without devkit-only tables) — the table reader handles it
         return TableNuScenes(version=version, dataroot=dataroot)
 
 

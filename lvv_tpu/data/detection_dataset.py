@@ -274,6 +274,28 @@ class WaymoDetection(DetectionDatasetBase):
             counts.append(len(f_pre))
         return np.concatenate(chunks, axis=0), np.asarray(counts, np.int32)
 
+    def __getitem__(self, index: int) -> DetectionSample:
+        if self.sequence_offsets is None:
+            return super().__getitem__(index)
+        # sequence mode keeps the frame-contiguous layout (no range mask /
+        # shuffle — they would scramble the per-frame grouping MPPNet's
+        # stack_sequence_frames relies on) and carries frame_counts
+        # through, clipped consistently with the point padding.
+        raw = self.load_raw(index)
+        pts = raw["points"]
+        points, n = pad_points(pts, self.max_points)
+        boxes = raw.get("gt_boxes", np.zeros((0, 9), np.float32))
+        labels = raw.get("gt_labels", np.zeros((0,), np.int32))
+        gb, gl, gm = pad_boxes(boxes, labels, self.max_gt)
+        sample = DetectionSample(points=points, num_points=np.int32(n),
+                                 gt_boxes=gb, gt_labels=gl, gt_mask=gm,
+                                 token=raw.get("token", str(index)))
+        fc = np.asarray(raw["frame_counts"], np.int64)
+        kept_cum = np.minimum(np.cumsum(fc), self.max_points)
+        sample["frame_counts"] = np.diff(
+            np.concatenate([[0], kept_cum])).astype(np.int32)
+        return sample
+
     def load_raw(self, index: int) -> Dict:
         info = self.infos[index]
         pc = info["point_cloud"]

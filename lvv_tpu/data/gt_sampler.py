@@ -51,6 +51,21 @@ def build_gt_database(dataset, out_path: str, class_names: Sequence[str],
     return out
 
 
+def build_gt_database_from_infos(dataset_cls, dataroot, infos, classes,
+                                 out_path, point_range, max_points,
+                                 min_points: int = 5) -> None:
+    """Shared CLI-side gt-paste database build over decoded infos
+    (reference create_groundtruth_database flows; used by
+    tools/create_{waymo,once}_infos.py --with-gt-db)."""
+    ds = dataset_cls(dataroot=str(dataroot), infos=infos,
+                     point_range=point_range, max_points=max_points,
+                     max_gt=256)
+    db = build_gt_database(ds, str(out_path), list(classes),
+                           min_points=min_points)
+    for k, v in sorted(db["classes"].items()):
+        print(f"gt database {k}: {len(v)}")
+
+
 class GTSampler:
     """Paste database objects into a scene (reference sample_with_fixed_number
     + put_boxes_on_road behavior simplified to ground-plane preservation:

@@ -163,7 +163,11 @@ def decode_sequence(seq_dir, save_dir, device: int = 0,
     seq = seq_dir.name
     out_dir = pathlib.Path(save_dir) / seq
     out_dir.mkdir(parents=True, exist_ok=True)
-    pkl_file = out_dir / f"{seq}_infos.pkl"
+    # cache key carries the decode parameters (stale-cache guard)
+    variant = (f"_d{device}" if device != 0 else "") \
+        + ("" if category_map else "_raw") \
+        + ("" if has_label else "_nolabel")
+    pkl_file = out_dir / f"{seq}_infos{variant}.pkl"
     if pkl_file.exists():
         with open(pkl_file, "rb") as f:
             return pickle.load(f)
@@ -222,7 +226,9 @@ def create_infos(root, save_dir,
         all_infos: List[Dict] = []
         for seq in seqs:
             seq_dir = data_dir / seq
-            cached = save_dir / seq / f"{seq}_infos.pkl"
+            variant = (f"_d{device}" if device != 0 else "") \
+                + ("" if category_map else "_raw")
+            cached = save_dir / seq / f"{seq}_infos{variant}.pkl"
             if not seq_dir.is_dir() and not cached.exists():
                 print(f"[{split}] missing sequence {seq}, skipping")
                 continue

@@ -225,8 +225,13 @@ def repeated_varint(fields: Fields, num: int) -> List[int]:
 # repeated scalars) so round-trips also exercise the packed branches.
 
 def encode_varint(value: int) -> bytes:
-    out = bytearray()
     v = int(value)
+    if v < 0:
+        # protobuf encodes negatives as 10-byte two's complement; none of
+        # the fabricated schemas use them, so fail loudly instead of
+        # spinning on Python's arithmetic right shift
+        raise ValueError(f"negative varint {v} not supported")
+    out = bytearray()
     while True:
         b = v & 0x7F
         v >>= 7

@@ -337,7 +337,12 @@ def decode_sequence(tfrecord_path, save_path, sampled_interval: int = 1,
             sequence_name = sequence_name[:-len(suffix)]
     seq_dir = pathlib.Path(save_path) / sequence_name
     seq_dir.mkdir(parents=True, exist_ok=True)
-    pkl_file = seq_dir / f"{sequence_name}.pkl"
+    # cache key carries the decode parameters so a re-run with a
+    # different sampling/label/return setting never serves stale infos
+    variant = (f"_i{sampled_interval}" if sampled_interval != 1 else "") \
+        + ("" if has_label else "_nolabel") \
+        + ("" if use_two_returns else "_1ret")
+    pkl_file = seq_dir / f"{sequence_name}{variant}.pkl"
     if pkl_file.exists():
         with open(pkl_file, "rb") as f:
             return pickle.load(f)

@@ -472,3 +472,59 @@ def test_sequence_points_feed_mppnet(tmp_path):
     dets = m.apply(params, jnp.asarray(stack), jnp.asarray(counts), props)
     assert np.isfinite(np.asarray(dets.boxes)).all()
 
+
+
+def test_sequence_mode_getitem_preserves_frames(tmp_path):
+    """__getitem__ in sequence mode must keep frame-contiguous layout and
+    clip frame_counts consistently with point padding (code-review fix:
+    the base pipeline's shuffle/range-mask would scramble per-frame
+    grouping and drop frame_counts)."""
+    from lvv_tpu.data.detection_dataset import (WaymoDetection,
+                                                stack_sequence_frames)
+    seq_dir = tmp_path / "proc" / "seg-g"
+    seq_dir.mkdir(parents=True)
+    infos = []
+    for i in range(2):
+        pose = np.eye(4, dtype=np.float32)
+        pts = np.zeros((10, 6), np.float32)
+        pts[:, 0] = np.arange(10) + 100 * i     # frame-identifying x
+        pts[:, 5] = -1
+        np.save(seq_dir / ("%04d.npy" % i), pts)
+        infos.append({"point_cloud": {"num_features": 5,
+                                      "lidar_sequence": "seg-g",
+                                      "sample_idx": i},
+                      "frame_id": f"seg-g_{i:03d}", "pose": pose})
+    ds = WaymoDetection(dataroot=str(tmp_path / "proc"), infos=infos,
+                        sequence_offsets=(-1, 0),
+                        point_range=(-500, -500, -5, 500, 500, 5),
+                        max_points=15, max_gt=4)
+    s = ds[1]
+    # 10 current + 10 prior, padded capacity 15 -> prior clipped to 5
+    assert s["frame_counts"].tolist() == [10, 5]
+    assert int(s["num_points"]) == 15
+    # frame-contiguous: first 10 rows are frame 1 (x in [100, 110))
+    assert (s["points"][:10, 0] >= 100).all()
+    assert (s["points"][10:15, 0] < 10).all()
+    stack, kept = stack_sequence_frames(
+        s["points"][:int(s["num_points"])], s["frame_counts"], 12)
+    assert stack.shape == (2, 12, 6) and kept.tolist() == [10, 5]
+
+
+def test_create_waymo_infos_multisplit_guard(tmp_path, monkeypatch):
+    """Without ImageSets lists, multi-split decode would leak train data
+    into val — the CLI must refuse (code-review fix)."""
+    import importlib.util, pathlib
+    spec = importlib.util.spec_from_file_location(
+        "create_waymo_infos_guard",
+        str(pathlib.Path(__file__).resolve().parents[1] / "tools"
+            / "create_waymo_infos.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _fab_tfrecord(raw)
+    monkeypatch.setattr("sys.argv", [
+        "create_waymo_infos.py", "--raw-dir", str(raw), "--save-dir",
+        str(tmp_path / "save")])          # default --splits train val
+    with pytest.raises(SystemExit):
+        mod.main()

@@ -18,20 +18,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from lvv_tpu.data import once_decode as odec  # noqa: E402
 
-def _build_gt_db(dataset_cls, dataroot, infos, classes, out_path,
-                 point_range, max_points, min_points=5):
-    """Shared gt-paste database build over the decoded infos (reference
-    create_groundtruth_database flows; database consumed by
-    lvv_tpu.data.gt_sampler.GTSampler)."""
-    from lvv_tpu.data.gt_sampler import build_gt_database
-    ds = dataset_cls(dataroot=str(dataroot), infos=infos,
-                     point_range=point_range, max_points=max_points,
-                     max_gt=256)
-    db = build_gt_database(ds, str(out_path), list(classes),
-                           min_points=min_points)
-    for k, v in sorted(db["classes"].items()):
-        print(f"gt database {k}: {len(v)}")
-
+from lvv_tpu.data.gt_sampler import \
+    build_gt_database_from_infos as _build_gt_db  # noqa: E402
 
 
 def main() -> int:

@@ -28,20 +28,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from lvv_tpu.data import waymo_decode as wd  # noqa: E402
 
-def _build_gt_db(dataset_cls, dataroot, infos, classes, out_path,
-                 point_range, max_points, min_points=5):
-    """Shared gt-paste database build over the decoded infos (reference
-    create_groundtruth_database flows; database consumed by
-    lvv_tpu.data.gt_sampler.GTSampler)."""
-    from lvv_tpu.data.gt_sampler import build_gt_database
-    ds = dataset_cls(dataroot=str(dataroot), infos=infos,
-                     point_range=point_range, max_points=max_points,
-                     max_gt=256)
-    db = build_gt_database(ds, str(out_path), list(classes),
-                           min_points=min_points)
-    for k, v in sorted(db["classes"].items()):
-        print(f"gt database {k}: {len(v)}")
-
+from lvv_tpu.data.gt_sampler import \
+    build_gt_database_from_infos as _build_gt_db  # noqa: E402
 
 
 def sequence_files(raw_dir: pathlib.Path, split: str):
@@ -51,7 +39,7 @@ def sequence_files(raw_dir: pathlib.Path, split: str):
                  if ln.strip()]
         return [raw_dir / "raw_data" / n if (raw_dir / "raw_data").is_dir()
                 else raw_dir / n for n in names]
-    return sorted(raw_dir.glob("**/*.tfrecord"))
+    return None
 
 
 def main() -> int:
@@ -79,8 +67,17 @@ def main() -> int:
     proc_dir = save_dir / args.processed_tag
     proc_dir.mkdir(parents=True, exist_ok=True)
 
+    no_imageset = [s for s in args.splits
+                   if not (raw_dir / "ImageSets" / f"{s}.txt").exists()]
+    if no_imageset and len(args.splits) > 1:
+        raise SystemExit(
+            f"no ImageSets/<split>.txt for {no_imageset}: decoding every "
+            "tfrecord into multiple splits would duplicate train data "
+            "into val — provide ImageSets lists or pass a single split")
     for split in args.splits:
         files = sequence_files(raw_dir, split)
+        if files is None:
+            files = sorted(raw_dir.glob("**/*.tfrecord"))
         if not files:
             print(f"[{split}] no tfrecords found, skipping")
             continue

@@ -67,7 +67,7 @@ def main() -> None:
     det = build_detector(detector, cfg.model.voxelnext, cfg.voxelize)
     ds_kw = dict(point_range=cfg.voxelize.point_range,
                  max_points=cfg.voxelize.max_points)
-    if args.dataset == "Custom":
+    if args.dataset in ("Custom", "Kitti"):
         ds_kw["root"] = args.data_root
     else:
         ds_kw["dataroot"] = args.data_root
@@ -77,14 +77,14 @@ def main() -> None:
 
     n = len(ds) if not args.limit else min(args.limit, len(ds))
     sample0 = ds[0]
-    # detect() consumes xyz+intensity; init with the same slice so VFE
-    # weight shapes agree on 5-feature datasets (nuScenes/Waymo)
+    # full feature width, matching what tools/train_detector.py trains
+    # with — otherwise trained checkpoints could never restore here
     params = det.init(jax.random.PRNGKey(0),
-                      jnp.asarray(sample0["points"][:, :4]),
+                      jnp.asarray(sample0["points"]),
                       jnp.asarray(sample0["num_points"]))
     seen = set()
 
-    def load_ckpt():
+    def load_ckpt(required: bool = False):
         if not args.checkpoint:
             return False
         from lvv_tpu.train.checkpoints import CheckpointManager
@@ -96,6 +96,11 @@ def main() -> None:
             params = restored
             print(f"[eval] loaded checkpoint step {step}")
             return True
+        if required and not seen:
+            raise SystemExit(
+                f"--checkpoint {args.checkpoint} could not be restored "
+                "(shape mismatch or no checkpoint found) — refusing to "
+                "score random-init params")
         return False
 
     detect = jax.jit(lambda p, pts, np_: det.apply(
@@ -108,7 +113,7 @@ def main() -> None:
         for i in range(n):
             s = ds[i]
             t0 = time.perf_counter()
-            d = detect(params, jnp.asarray(s["points"][:, :4]),
+            d = detect(params, jnp.asarray(s["points"]),
                        jnp.asarray(s["num_points"]))
             cnt = int(d.count)
             boxes = np.asarray(d.boxes[:cnt])
@@ -207,9 +212,12 @@ def main() -> None:
         sub = _pathlib.Path(sub_dir)
         sub.mkdir(parents=True, exist_ok=True)
 
-        def nm(lbl):
-            return names[np.clip(lbl, 0, len(names) - 1)] if len(lbl) \
-                else np.asarray([], dtype=names.dtype)
+        def select(r):
+            """Keep only dets whose label maps to a dataset class —
+            clipping would silently mislabel submission boxes."""
+            keep = (r["labels"] >= 0) & (r["labels"] < len(names))
+            return (names[r["labels"][keep]], r["boxes"][keep],
+                    r["scores"][keep])
 
         if args.dataset == "NuScenes":
             from lvv_tpu.data.dataset import make_nusc_handle
@@ -218,9 +226,11 @@ def main() -> None:
             if nusc is None:
                 print("[submission] no nuScenes tables; skipping")
                 return
-            dets = [{"token": r["token"], "boxes_lidar": r["boxes"],
-                     "score": r["scores"], "name": nm(r["labels"])}
-                    for r in records]
+            dets = []
+            for r in records:
+                nms_, boxes_, scores_ = select(r)
+                dets.append({"token": r["token"], "boxes_lidar": boxes_,
+                             "score": scores_, "name": nms_})
             write_nusc_results(dets, nusc, sub / "results_nusc.json")
             print(f"[submission] {sub / 'results_nusc.json'}")
         elif args.dataset == "Kitti":
@@ -231,15 +241,17 @@ def main() -> None:
                 calib_path = root / "calib" / f"{r['token']}.txt"
                 if not calib_path.exists():
                     continue
-                write_kitti_results(r["token"], r["boxes"][:, :7],
-                                    r["scores"], nm(r["labels"]),
-                                    parse_calib(calib_path), sub)
+                nms_, boxes_, scores_ = select(r)
+                write_kitti_results(r["token"], boxes_[:, :7], scores_,
+                                    nms_, parse_calib(calib_path), sub)
             print(f"[submission] label txts under {sub}")
         elif args.dataset == "Argo2":
             from lvv_tpu.data.argo2_decode import format_results
-            outputs = [{"name": nm(r["labels"]),
-                        "boxes": r["boxes"][:, :7],
-                        "score": r["scores"]} for r in records]
+            outputs = []
+            for r in records:
+                nms_, boxes_, scores_ = select(r)
+                outputs.append({"name": nms_, "boxes": boxes_[:, :7],
+                                "score": scores_})
             format_results(outputs, ds.infos[:len(outputs)],
                            out_path=sub / "argo2_dts.feather")
             print(f"[submission] {sub / 'argo2_dts.feather'}")
@@ -256,22 +268,25 @@ def main() -> None:
                                          y=pose_vec[5], z=pose_vec[6]))
                 seq = str(info.get("sequence", "000"))
                 fid = int(info.get("frame_idx", 0))
+                nms_, boxes_, scores_ = select(r)
                 export_predictions(
-                    r["boxes"][:, :7], r["scores"], nm(r["labels"]),
+                    boxes_[:, :7], scores_, nms_,
                     pose, float(info.get("zrot_world_to_ego", 0.0)),
                     save_path=sub / seq / "predictions" / "cuboids"
                     / f"{fid:02d}.pkl.gz")
             print(f"[submission] prediction pkls under {sub}")
         else:
-            payload = [{"token": r["token"],
-                        "boxes": r["boxes"].tolist(),
-                        "scores": r["scores"].tolist(),
-                        "name": nm(r["labels"]).tolist()}
-                       for r in records]
+            payload = []
+            for r in records:
+                nms_, boxes_, scores_ = select(r)
+                payload.append({"token": r["token"],
+                                "boxes": boxes_.tolist(),
+                                "scores": scores_.tolist(),
+                                "name": nms_.tolist()})
             (sub / "detections.json").write_text(json.dumps(payload))
             print(f"[submission] {sub / 'detections.json'}")
 
-    load_ckpt()
+    load_ckpt(required=True)
     result, records = run_eval()
     out = {k: v for k, v in result.items() if k != "per_class"}
     print(json.dumps(out, indent=2, default=str))

@@ -97,13 +97,22 @@ def main() -> None:
     else:
         from lvv_tpu.data.detection_dataset import (DetectionDatasetBase,
                                                     build_dataset)
-        ds = build_dataset(args.dataset, dataroot=args.dataroot,
-                           info_path=args.info_path,
-                           point_range=cfg.voxelize.point_range,
-                           max_points=cfg.voxelize.max_points,
-                           max_gt=args.max_gt, augment=args.augment)
+        ds_kw = dict(point_range=cfg.voxelize.point_range,
+                     max_points=cfg.voxelize.max_points,
+                     max_gt=args.max_gt, augment=args.augment)
+        if args.dataset in ("Custom", "Kitti"):
+            ds_kw["root"] = args.dataroot
+        else:
+            ds_kw["dataroot"] = args.dataroot
+            if args.info_path:
+                ds_kw["info_path"] = args.info_path
+        ds = build_dataset(args.dataset, **ds_kw)
         if len(ds) == 0:
             raise SystemExit("dataset is empty — check --info-path")
+        if args.batch > len(ds):
+            print(f"[data] batch {args.batch} > {len(ds)} samples; "
+                  f"clamping to {len(ds)}")
+            args.batch = len(ds)
         print(f"[data] {args.dataset}: {len(ds)} samples")
 
         def batch_stream():
