@@ -79,13 +79,17 @@ class DetectionDatasetBase:
 
     def __init__(self, point_range, max_points: int = 300000,
                  max_gt: int = 128, augment: bool = False, seed: int = 0,
-                 num_point_features: int = 4):
+                 num_point_features: int = 4, gt_sampler=None):
         self.point_range = tuple(point_range)
         self.max_points = max_points
         self.max_gt = max_gt
         self.do_augment = augment
         self.rng = np.random.default_rng(seed)
         self.num_point_features = num_point_features
+        # optional gt-paste augmentor (lvv_tpu.data.gt_sampler.GTSampler),
+        # applied on the raw scene before world augmentation — the
+        # reference pipeline's gt_sampling step (database_sampler.py)
+        self.gt_sampler = gt_sampler
 
     # subclasses implement raw access
     def load_raw(self, index: int) -> Dict:
@@ -93,10 +97,13 @@ class DetectionDatasetBase:
 
     def __getitem__(self, index: int) -> DetectionSample:
         raw = self.load_raw(index)
-        pts = mask_points_by_range(raw["points"], self.point_range)
-        pts = shuffle_points(pts, self.rng)
+        pts = raw["points"]
         boxes = raw.get("gt_boxes", np.zeros((0, 9), np.float32))
         labels = raw.get("gt_labels", np.zeros((0,), np.int32))
+        if self.gt_sampler is not None:
+            pts, boxes, labels = self.gt_sampler(pts, boxes, labels)
+        pts = mask_points_by_range(pts, self.point_range)
+        pts = shuffle_points(pts, self.rng)
         if self.do_augment and len(boxes):
             import jax
             import jax.numpy as jnp

@@ -76,3 +76,35 @@ def test_gt_database_and_paste(tmp_path, rng):
     assert len(b2) >= len(boxes)   # pasted up to quota
     assert len(p2) > len(pts)
     assert (l2 == 0).sum() >= 1
+
+
+def test_gt_sampler_in_dataset_pipeline(tmp_path):
+    """gt_sampler hook on DetectionDatasetBase: pasted objects appear in
+    the fixed-shape sample (reference DataAugmentor gt_sampling step)."""
+    import pickle
+    import numpy as np
+    from lvv_tpu.data.detection_dataset import CustomDetection
+    from lvv_tpu.data.gt_sampler import GTSampler
+
+    root = tmp_path / "scenes"
+    root.mkdir()
+    np.save(root / "a.npy",
+            np.random.default_rng(0).uniform(-20, 20, (50, 4))
+            .astype(np.float32))
+    db = {"classes": {"car": [
+        {"box": np.array([5, 5, 0, 4, 2, 1.5, 0.0, 0, 0], np.float32),
+         "points": np.random.default_rng(1).uniform(-1, 1, (20, 4))
+         .astype(np.float32)},
+        {"box": np.array([-8, -8, 0, 4, 2, 1.5, 0.0, 0, 0], np.float32),
+         "points": np.random.default_rng(2).uniform(-1, 1, (20, 4))
+         .astype(np.float32)}]}, "min_points": 1}
+    (tmp_path / "db.pkl").write_bytes(pickle.dumps(db))
+    sampler = GTSampler(str(tmp_path / "db.pkl"), {"car": 2}, ["car"])
+    ds = CustomDetection(str(root), point_range=(-50, -50, -5, 50, 50, 5),
+                         max_points=128, max_gt=8, gt_sampler=sampler)
+    s = ds[0]
+    # 50 scene points + 2 pasted objects x 20 points (collision rejection
+    # retries until both distinct db locations are used)
+    assert int(s["num_points"]) == 90
+    assert int(s["gt_mask"].sum()) == 2
+    assert (s["gt_labels"][:2] == 0).all()

@@ -59,6 +59,14 @@ def main() -> None:
     p.add_argument("--max-gt", type=int, default=128)
     p.add_argument("--augment", action="store_true",
                    help="world flip/rot/scale augmentation")
+    p.add_argument("--gt-db", default=None,
+                   help="gt-paste database pickle (from the "
+                        "create_*_infos --with-gt-db step)")
+    p.add_argument("--gt-quota", action="append", default=[],
+                   help="class=N paste quota, repeatable (reference "
+                        "SAMPLE_GROUPS); default 2 per dataset class")
+    p.add_argument("--cbgs", action="store_true",
+                   help="class-balanced resampling (nuScenes CBGS)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -106,7 +114,19 @@ def main() -> None:
             ds_kw["dataroot"] = args.dataroot
             if args.info_path:
                 ds_kw["info_path"] = args.info_path
+        if args.cbgs:
+            ds_kw["balanced_resampling"] = True
         ds = build_dataset(args.dataset, **ds_kw)
+        if args.gt_db:
+            from lvv_tpu.data.gt_sampler import GTSampler
+            classes = list(getattr(ds, "CLASSES",
+                                   cfg.model.voxelnext.class_names))
+            quotas = {c: 2 for c in classes}
+            for q in args.gt_quota:
+                c, n = q.split("=")
+                quotas[c] = int(n)
+            ds.gt_sampler = GTSampler(args.gt_db, quotas, classes)
+            print(f"[data] gt-paste sampler: {quotas}")
         if len(ds) == 0:
             raise SystemExit("dataset is empty — check --info-path")
         if args.batch > len(ds):
