@@ -95,12 +95,41 @@ def _ap_from_pr(scores, tp_weights, tp_flags, n_gt) -> Tuple[float, float]:
     return float(ap / 101), float(aph / 101)
 
 
+# official breakdown shards by box-center range (metrics/config:
+# RANGE breakdown generator — [0, 30), [30, 50), [50, +inf))
+RANGE_BUCKETS = ((0.0, 30.0), (30.0, 50.0), (50.0, float("inf")))
+
+
 def evaluate(gt_annos: Sequence[Dict], pred_annos: Sequence[Dict],
-             classes: Sequence[str] = CLASSES) -> Dict[str, float]:
+             classes: Sequence[str] = CLASSES,
+             range_breakdowns: bool = False) -> Dict[str, float]:
     """annos per sample: gt {name [G], gt_boxes_lidar [G, 7],
     num_points_in_gt [G]}; pred {name [P], boxes_lidar [P, 7], score [P]}.
-    -> {<cls>/L1 AP, <cls>/L1 APH, <cls>/L2 ..., mAP/L*, mAPH/L*}."""
+    -> {<cls>/L1 AP, <cls>/L1 APH, <cls>/L2 ..., mAP/L*, mAPH/L*};
+    with range_breakdowns also `<cls>/L<l> AP [lo, hi)` per RANGE_BUCKETS
+    (both gts and dets sharded by box-center range, like the official
+    RANGE breakdown generator)."""
     out: Dict[str, float] = {}
+    if range_breakdowns:
+        for lo, hi in RANGE_BUCKETS:
+            def shard(annos, box_key):
+                shd = []
+                for a in annos:
+                    b = np.asarray(a[box_key], np.float32)
+                    b = b.reshape(-1, b.shape[-1] if b.size else 7)
+                    r = np.hypot(b[:, 0], b[:, 1]) if len(b) else                         np.zeros(0)
+                    keep = (r >= lo) & (r < hi)
+                    c = {k: (np.asarray(v)[keep] if k in
+                             ("name", box_key, "score",
+                              "num_points_in_gt") and
+                             np.asarray(v).shape[:1] == keep.shape
+                             else v) for k, v in a.items()}
+                    shd.append(c)
+                return shd
+            sub = evaluate(shard(gt_annos, "gt_boxes_lidar"),
+                           shard(pred_annos, "boxes_lidar"), classes)
+            tag = f"[{lo:g}, {hi:g})"
+            out.update({f"{k} {tag}": v for k, v in sub.items()})
     for level in (1, 2):
         aps, aphs = [], []
         for cls in classes:

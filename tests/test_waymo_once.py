@@ -153,3 +153,27 @@ def test_once_dataset_loader(tmp_path):
     assert int(s["num_points"]) == 2
     assert s["gt_labels"][0] == ds.CLASSES.index("Bus")
     assert s["gt_boxes"][0, 3] == pytest.approx(10.0)
+
+
+def test_waymo_range_breakdowns():
+    """Official RANGE breakdown shards: a far-away det/gt pair counts in
+    [50, inf) but not [0, 30)."""
+    import numpy as np
+    from lvv_tpu.train.waymo_eval import evaluate
+
+    def box(x, n=1):
+        return np.tile(np.array([[x, 0, 1, 4, 2, 1.5, 0.0]], np.float32),
+                       (n, 1))
+    gts = [{"name": np.array(["Vehicle", "Vehicle"]),
+            "gt_boxes_lidar": np.concatenate([box(10), box(60)]),
+            "num_points_in_gt": np.array([50, 50])}]
+    preds = [{"name": np.array(["Vehicle", "Vehicle"]),
+              "boxes_lidar": np.concatenate([box(10), box(60)]),
+              "score": np.array([0.9, 0.8])}]
+    res = evaluate(gts, preds, classes=("Vehicle",),
+                   range_breakdowns=True)
+    assert res["Vehicle/L1 AP"] > 0.9                    # overall
+    assert res["Vehicle/L1 AP [0, 30)"] > 0.9
+    assert res["Vehicle/L1 AP [50, inf)"] > 0.9
+    # nothing lives in [30, 50)
+    assert res["Vehicle/L1 AP [30, 50)"] == 0.0
