@@ -30,7 +30,7 @@ def main() -> None:
                         "(Waymo/ONCE/Lyft/Pandaset/Argo2/NuScenes)")
     p.add_argument("--metric", default="nuscenes",
                    choices=["nuscenes", "kitti", "kitti_official", "waymo",
-                            "once", "lyft"],
+                            "once", "lyft", "argo2"],
                    help="which evaluation suite scores the detections")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--config", default=None)
@@ -184,6 +184,15 @@ def main() -> None:
                       "boxes_lidar": r["boxes"][:, :7],
                       "score": r["scores"]} for r in records]
             return waymo_eval(gts, preds, classes)
+        if metric == "argo2":
+            from lvv_tpu.train.argo2_eval import evaluate as argo2_eval
+            gts = [{"name": nm(r["gt_labels"]),
+                    "gt_boxes_lidar": r["gt_boxes"][:, :7]}
+                   for r in records]
+            preds = [{"name": nm(r["labels"]),
+                      "boxes_lidar": r["boxes"][:, :7],
+                      "score": r["scores"]} for r in records]
+            return argo2_eval(gts, preds, classes)
         if metric == "once":
             from lvv_tpu.train.once_eval import get_evaluation_results
             gts = [{"name": nm(r["gt_labels"]),
