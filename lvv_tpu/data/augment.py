@@ -85,3 +85,94 @@ def augment(key, points, boxes, *, flip_x=True, flip_y=False,
         points, boxes = random_translation(
             jax.random.fold_in(key, 7), points, boxes, translate_std)
     return points, boxes
+
+
+# ----------------------------------------------------- local (per-box) augs
+# Reference augmentor_utils local_* family (data_augmentor.py:158-205):
+# each gt box gets its own random transform, applied to the points inside
+# it. Fixed-shape: points-in-box membership is a [N, G] mask; a point in
+# several boxes follows the last one, like sequential host loops do.
+
+
+def _in_box_mask(points, boxes):
+    """[N, G] rotated-box membership (xy footprint + z extent)."""
+    d = points[:, None, :3] - boxes[None, :, :3]
+    c, s = jnp.cos(-boxes[:, 6]), jnp.sin(-boxes[:, 6])
+    lx = c[None, :] * d[..., 0] - s[None, :] * d[..., 1]
+    ly = s[None, :] * d[..., 0] + c[None, :] * d[..., 1]
+    return ((jnp.abs(lx) <= boxes[None, :, 3] / 2)
+            & (jnp.abs(ly) <= boxes[None, :, 4] / 2)
+            & (jnp.abs(d[..., 2]) <= boxes[None, :, 5] / 2))
+
+
+def _apply_per_box(points, boxes, centers_new, delta_yaw, scale):
+    """Shared machinery: move each box's interior points with the box."""
+    mask = _in_box_mask(points, boxes)                       # [N, G]
+    # last-match-wins box assignment per point
+    gidx = jnp.where(mask.any(axis=1),
+                     (mask.shape[1] - 1)
+                     - jnp.argmax(mask[:, ::-1], axis=1), -1)
+    owned = gidx >= 0
+    g = jnp.clip(gidx, 0, boxes.shape[0] - 1)
+    rel = points[:, :3] - boxes[g, :3]
+    cy, sy = jnp.cos(delta_yaw)[g], jnp.sin(delta_yaw)[g]
+    rx = cy * rel[:, 0] - sy * rel[:, 1]
+    ry = sy * rel[:, 0] + cy * rel[:, 1]
+    rel_new = jnp.stack([rx, ry, rel[:, 2]], axis=1) * scale[g, None]
+    moved = centers_new[g] + rel_new
+    xyz = jnp.where(owned[:, None], moved, points[:, :3])
+    points = points.at[:, :3].set(xyz)
+    boxes = boxes.at[:, :3].set(centers_new)
+    boxes = boxes.at[:, 3:6].multiply(scale[:, None])
+    boxes = boxes.at[:, 6].add(delta_yaw)
+    return points, boxes
+
+
+def random_local_rotation(key, points, boxes,
+                          rot_range=(-0.15707963, 0.15707963)):
+    """Per-box rotation about each box center (reference
+    random_local_rotation)."""
+    ang = jax.random.uniform(key, (boxes.shape[0],),
+                             minval=rot_range[0], maxval=rot_range[1])
+    return _apply_per_box(points, boxes, boxes[:, :3], ang,
+                          jnp.ones(boxes.shape[0]))
+
+
+def random_local_translation(key, points, boxes, std: float = 0.25,
+                             along=("x", "y", "z")):
+    """Per-box center jitter (reference random_local_translation)."""
+    off = jax.random.normal(key, (boxes.shape[0], 3)) * std
+    axes = jnp.asarray(["x" in along, "y" in along, "z" in along],
+                       jnp.float32)
+    centers = boxes[:, :3] + off * axes[None, :]
+    return _apply_per_box(points, boxes, centers,
+                          jnp.zeros(boxes.shape[0]),
+                          jnp.ones(boxes.shape[0]))
+
+
+def random_local_scaling(key, points, boxes, scale_range=(0.95, 1.05)):
+    """Per-box scaling about each box center (reference
+    random_local_scaling)."""
+    s = jax.random.uniform(key, (boxes.shape[0],),
+                           minval=scale_range[0], maxval=scale_range[1])
+    return _apply_per_box(points, boxes, boxes[:, :3],
+                          jnp.zeros(boxes.shape[0]), s)
+
+
+def global_frustum_dropout(key, points, intensity_range=(0.0, 0.2),
+                           direction: str = "top"):
+    """World frustum dropout (reference random_world_frustum_dropout):
+    drops a random azimuth wedge ('top': highest-z fraction instead).
+    Returns a keep mask — the host pipeline compacts (fixed-shape callers
+    can also zero the dropped rows)."""
+    frac = jax.random.uniform(key, (), minval=intensity_range[0],
+                              maxval=intensity_range[1])
+    if direction == "top":
+        zmin, zmax = points[:, 2].min(), points[:, 2].max()
+        cut = zmax - frac * (zmax - zmin)
+        return points[:, 2] <= cut
+    az = jnp.arctan2(points[:, 1], points[:, 0])
+    start = jax.random.uniform(key, (), minval=-jnp.pi, maxval=jnp.pi)
+    width = frac * 2.0 * jnp.pi
+    rel = (az - start) % (2.0 * jnp.pi)
+    return rel > width

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lvv_tpu.data.augment import (augment, random_flip, random_rotation,
                                   random_scaling)
@@ -65,3 +66,62 @@ def test_collectives_single_process():
     assert reduce_mean_scalar(3.5) == 3.5
     out = gather_metric_dicts({"loss": 1.0, "acc": 0.5})
     assert out == {"acc": 0.5, "loss": 1.0}
+
+
+def test_local_rotation_moves_interior_points():
+    """Per-box rotation: interior points rotate about the box center,
+    outside points stay (reference augmentor_utils.local_rotation)."""
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.data.augment import random_local_rotation
+
+    boxes = jnp.asarray([[10.0, 0, 0, 4, 4, 4, 0.0, 0, 0]])
+    pts = jnp.asarray([[11.0, 0.0, 0.0, 1.0],     # inside, 1 m +x of center
+                       [30.0, 0.0, 0.0, 1.0]])    # outside
+    p, b = random_local_rotation(jax.random.PRNGKey(0), pts, boxes,
+                                 rot_range=(np.pi / 2, np.pi / 2))
+    # interior point swings to 1 m +y of the center
+    np.testing.assert_allclose(np.asarray(p[0, :3]), (10.0, 1.0, 0.0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p[1, :3]), (30.0, 0.0, 0.0))
+    assert float(b[0, 6]) == pytest.approx(np.pi / 2)
+
+
+def test_local_scaling_and_translation():
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.data.augment import (random_local_scaling,
+                                      random_local_translation)
+
+    boxes = jnp.asarray([[0.0, 0, 0, 2, 2, 2, 0.3, 0, 0]])
+    pts = jnp.asarray([[0.5, 0.0, 0.0, 1.0]])
+    p, b = random_local_scaling(jax.random.PRNGKey(1), pts, boxes,
+                                scale_range=(2.0, 2.0))
+    np.testing.assert_allclose(np.asarray(p[0, :3]), (1.0, 0.0, 0.0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b[0, 3:6]), (4, 4, 4))
+    p2, b2 = random_local_translation(jax.random.PRNGKey(2), pts, boxes,
+                                      std=0.5)
+    # point moves WITH the box: relative offset preserved
+    np.testing.assert_allclose(np.asarray(p2[0, :3] - b2[0, :3]),
+                               (0.5, 0, 0), atol=1e-6)
+
+
+def test_frustum_dropout_masks():
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.data.augment import global_frustum_dropout
+
+    pts = jnp.asarray(np.random.default_rng(0).uniform(
+        -10, 10, (200, 4)).astype(np.float32))
+    keep_top = global_frustum_dropout(jax.random.PRNGKey(0), pts,
+                                      intensity_range=(0.3, 0.3),
+                                      direction="top")
+    kept = np.asarray(pts[keep_top, 2])
+    assert keep_top.sum() < 200
+    assert kept.max() <= float(pts[:, 2].max())
+    keep_az = global_frustum_dropout(jax.random.PRNGKey(1), pts,
+                                     intensity_range=(0.25, 0.25),
+                                     direction="azimuth")
+    # ~25% of the azimuth circle dropped
+    assert 0.6 < float(keep_az.mean()) < 0.9
