@@ -180,12 +180,11 @@ class SAMAttention(nn.Module):
                 q_rw = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw,
                                   preferred_element_type=jnp.float32
                                   ).reshape(b, self.num_heads, h * w, w)
-                # global layers: 2048x1024 tiles measured best; the kernel
-                # is MXU-efficiency-bound (head_dim 64 = half the MXU's
-                # contraction depth, ~50% intrinsic ceiling) — block sizes
-                # and bias construction barely move it
-                # (benchmarks/stage_bisect.json gattn_k_* sweep)
-                bq = 256 if h * w <= 256 else 2048
+                # global layers: fused-bias kernel (bias_h folded into the
+                # score matmul's contraction-depth padding, exp2 softmax);
+                # 4096x1024 tiles measured best — 6.51 -> 5.35 ms/layer
+                # (benchmarks/gattn_fused_micro.json)
+                bq = 256 if h * w <= 256 else 4096
                 bk = 256 if h * w <= 256 else 1024
                 out = flash_attention_relpos(
                     q, k, v, q_rh.astype(q.dtype), q_rw.astype(q.dtype),

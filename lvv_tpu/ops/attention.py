@@ -403,11 +403,12 @@ def _relpos_mh_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "grid_w", "block_q",
-                                             "block_k", "quant8",
+                                             "block_k", "quant8", "fused",
                                              "interpret"))
 def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
                            block_q: int = 1024, block_k: int = 1024,
-                           quant8: bool = False, interpret: bool = False):
+                           quant8: bool = False, fused: bool = True,
+                           interpret: bool = False):
     """Self-attention with decomposed rel-pos bias, never materializing the
     [S, S] logits/bias (SAM global layers: S=4096 saves ~2.4 GB/layer/view).
 
@@ -420,6 +421,16 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
     """
     b, h, s, d = q.shape
     gh = s // grid_w
+    if (fused and s > 512 and s % block_q == 0 and s % block_k == 0
+            and block_k % grid_w == 0 and d + gh <= _LANE):
+        # aligned big-S case (SAM global layers): the fused-bias kernel —
+        # bias_h rides inside the score matmul's contraction-depth padding
+        # for free (6.51 -> 5.35 ms at the global shape,
+        # benchmarks/gattn_fused_micro.json)
+        return flash_attention_relpos_fused(
+            q, k, v, q_rh, q_rw, scale=scale, grid_w=grid_w,
+            block_q=block_q, block_k=block_k, quant8=quant8,
+            interpret=interpret)
     block_k = min(block_k, _pad_to(s, _LANE))
     block_q = min(block_q, _pad_to(s, _LANE))
     s_pad = _pad_to(s, max(block_q, block_k))
@@ -518,6 +529,154 @@ def flash_attention_relpos(q, k, v, q_rh, q_rw, *, scale: float, grid_w: int,
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(q, k, v, q_rh, q_rw, eh, sv)[:, :, :s_out]
+
+
+# ----------------------------------------------------------------------------
+# Fused-bias rel-pos flash attention (SAM global layers, aligned tiles).
+#
+# The streaming kernel above spends ~25% of its device time on the bias_h
+# expander matmul (16-deep fp32 contraction -> ~12% MXU efficiency) plus two
+# VPU bias adds per score element (benchmarks/stage_bisect.json). This
+# variant makes bias_h FREE: q is augmented with q·Rh (GH=64 columns) and k
+# with a one-hot kh indicator, so the score contraction depth goes 64 -> 128
+# — exactly one MXU pass either way (depth-64 bf16 already pads to the
+# 128-deep MXU tile), and s = (q·k)*scale + bias_h falls out of one dot.
+# bias_w is added via an in-kernel lane tiling of q·Rw (its one-hot is
+# periodic with w | block_k). exp() runs as exp2() with log2(e) folded into
+# the augmented q/qrw at construction time — one fewer VPU pass over the
+# [bq, bk] scores.
+# ----------------------------------------------------------------------------
+
+_LOG2E = math.log2(math.e)
+
+
+def _flash_relpos_fused_kernel(q_ref, k_ref, v_ref, qrw_ref, sv_ref, o_ref,
+                               acc_ref, m_ref, l_ref, *,
+                               w: int, s_valid: int, quant8: bool):
+    """Flash tile over augmented q/k: scores arrive with bias_h built in.
+
+    q_ref [1,1,bq,D+GH] = concat(q*scale*log2e, q_rh*log2e);
+    k_ref [1,1,bk,D+GH] = concat(k, onehot(kh)). qrw_ref [1,1,bq,W] is
+    q·Rw*log2e; bias_w[q, kv] = qrw[q, kv % w] via lane tiling (w | bk).
+    All softmax math is base-2 (exp2), exact-equivalent to exp.
+    """
+    bq = q_ref.shape[2]
+    bk = k_ref.shape[2]
+    ki = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0]
+    kb = k_ref[0, 0]
+    vb = v_ref[0, 0]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qrw = qrw_ref[0, 0].astype(jnp.float32)           # [bq, W]
+    s = s + jnp.concatenate([qrw] * (bk // w), axis=1)
+    if s_valid > 0:
+        col_ids = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(col_ids < s_valid, s, _NEG_INF)
+
+    m_prev = m_ref[:, 0]
+    l_prev = l_ref[:, 0]
+    smax = jnp.max(s, axis=-1)
+    m_new = jnp.maximum(m_prev, smax)
+    p = jnp.exp2(s - m_new[:, None])
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+    if quant8:
+        sp = jnp.maximum(jnp.exp2(smax - m_new), 1e-30)
+        p8 = jnp.round(p * (127.0 / sp)[:, None]).astype(jnp.int8)
+        z = jax.lax.dot_general(p8, vb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sv = sv_ref[...].reshape(1, z.shape[-1]).astype(jnp.float32)
+        pv = (z.astype(jnp.float32) * (sp * (1.0 / 127.0))[:, None]) * sv
+    else:
+        pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
+    m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, 0], 1e-30)
+        o_ref[0, 0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "grid_w", "block_q",
+                                             "block_k", "quant8",
+                                             "interpret"))
+def flash_attention_relpos_fused(q, k, v, q_rh, q_rw, *, scale: float,
+                                 grid_w: int, block_q: int = 2048,
+                                 block_k: int = 1024, quant8: bool = False,
+                                 interpret: bool = False):
+    """Drop-in for `flash_attention_relpos` when S is tile-aligned and
+    w | block_k (the SAM global layers: S = 4096, grid 64x64).
+
+    Numerically equivalent (fp32 accumulation; base-2 softmax); the [S, S]
+    logits/bias never materialize.
+    """
+    b, h, s, d = q.shape
+    gh = s // grid_w
+    assert s % block_q == 0 and s % block_k == 0 and block_k % grid_w == 0, (
+        s, block_q, block_k, grid_w)
+    f32 = jnp.float32
+    # augmented operands: one extra MXU pass is avoided as long as d+gh
+    # stays within the 128-lane contraction tile that depth-d already pads to
+    q_aug = jnp.concatenate(
+        [q.astype(f32) * (scale * _LOG2E), q_rh.astype(f32) * _LOG2E],
+        axis=-1).astype(q.dtype)
+    kh_onehot = (jnp.arange(gh)[None, :]
+                 == (jnp.arange(s) // grid_w)[:, None]).astype(k.dtype)
+    k_aug = jnp.concatenate(
+        [k, jnp.broadcast_to(kh_onehot, (b, h, s, gh))], axis=-1)
+    qrw = (q_rw.astype(f32) * _LOG2E).astype(q.dtype)
+
+    if quant8:
+        sv = jnp.maximum(jnp.max(jnp.abs(v.astype(f32)), axis=2,
+                                 keepdims=True) / 127.0, 1e-8)
+        v = jnp.clip(jnp.round(v.astype(f32) / sv), -127, 127).astype(
+            jnp.int8)
+    else:
+        sv = jnp.ones((b, h, 1, d), f32)
+    kernel = functools.partial(_flash_relpos_fused_kernel, w=grid_w,
+                               s_valid=0, quant8=quant8)
+    da = d + gh
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h, s // block_q, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, da),
+                         lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_k, da),
+                         lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_q, grid_w),
+                         lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, 1, d), lambda b_, h_, i, j: (b_, h_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h_, i, j: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(q_aug, k_aug, v, qrw, sv)
 
 
 # ----------------------------------------------------------------------------

@@ -104,6 +104,54 @@ def test_window_attention_packed_matches_oracle(key, win, heads, hd):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("bq,bk", [(1024, 1024), (512, 256), (256, 1024)])
+def test_relpos_fused_matches_bias_oracle(key, bq, bk):
+    """flash_attention_relpos_fused (bias_h folded into the augmented score
+    contraction, exp2 softmax) vs the materialized-bias oracle, across tile
+    splits — including multi-kv-tile online-softmax carries."""
+    from lvv_tpu.ops.attention import flash_attention_relpos_fused
+    b, h, gh, gw, d = 1, 2, 8, 128, 64
+    s = gh * gw
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, h, s, d))
+    k = jax.random.normal(ks[1], (b, h, s, d))
+    v = jax.random.normal(ks[2], (b, h, s, d))
+    q_rh = jax.random.normal(ks[3], (b, h, s, gh)) * 0.3
+    q_rw = jax.random.normal(ks[4], (b, h, s, gw)) * 0.3
+
+    bias = np.zeros((b, h, s, s), np.float32)
+    for i in range(s):
+        bias[..., i] = np.asarray(q_rh)[..., i // gw] + \
+            np.asarray(q_rw)[..., i % gw]
+    ref = attention_reference(q, k, v, bias=jnp.asarray(bias),
+                              scale=1.0 / math.sqrt(d))
+    out = flash_attention_relpos_fused(q, k, v, q_rh, q_rw,
+                                       scale=1.0 / math.sqrt(d), grid_w=gw,
+                                       block_q=bq, block_k=bk,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_relpos_dispatch_prefers_fused_and_matches_streaming(key):
+    """The public entry dispatches aligned big-S cases to the fused kernel;
+    fused=False keeps the streaming kernel — both must agree."""
+    b, h, gh, gw, d = 1, 2, 8, 128, 64
+    s = gh * gw
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, h, s, d))
+    k = jax.random.normal(ks[1], (b, h, s, d))
+    v = jax.random.normal(ks[2], (b, h, s, d))
+    q_rh = jax.random.normal(ks[3], (b, h, s, gh)) * 0.3
+    q_rw = jax.random.normal(ks[4], (b, h, s, gw)) * 0.3
+    kw = dict(scale=1.0 / math.sqrt(d), grid_w=gw, block_q=512,
+              block_k=512, interpret=True)
+    fused = flash_attention_relpos(q, k, v, q_rh, q_rw, **kw)
+    stream = flash_attention_relpos(q, k, v, q_rh, q_rw, fused=False, **kw)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(stream),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_flash_relpos_quant8_close_to_float(rng):
     """int8 p@v path (serving mode): within int8 noise of the float
     kernel on the streaming (large-S) path."""
