@@ -176,6 +176,17 @@ class VoxelNeXtConfig:
     focal: bool = False
     focal_use_img: bool = False
     focal_spawn: int = 128
+    # DSVT trunk knobs (reference backbones_3d/dsvt.py; waymo
+    # dsvt_pillar.yaml / dsvt_voxel.yaml: d_model 192, 8 heads, set 36,
+    # window 12x12 in x/y). dsvt_window is (z, y, x); dsvt_max_sets 0 ->
+    # the ceil(V/set_size)*2 heuristic, or plan with
+    # models.dsvt.plan_max_sets for an exact per-cloud capacity.
+    dsvt_channels: int = 192
+    dsvt_blocks: int = 4
+    dsvt_heads: int = 8
+    dsvt_window: Tuple[int, int, int] = (1, 12, 12)
+    dsvt_set_size: int = 36
+    dsvt_max_sets: int = 0
     num_classes: int = 10
     class_names: Tuple[str, ...] = (
         "car", "truck", "construction_vehicle", "bus", "trailer",

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..config.schema import VoxelizeConfig, VoxelNeXtConfig
 from ..ops.attention import attention
 from ..ops.segment import ingroup_inds, unique_with_inverse
 from ..ops.sparse import SENTINEL, SparseTensor, delinearize
@@ -222,3 +223,53 @@ class DSVTBackbone(nn.Module):
                            set_size=self.set_size, max_sets=max_sets,
                            shift=bool(i % 2), name=f"block_{i}")(st)
         return st
+
+
+class DSVTDetector(nn.Module):
+    """Registered DSVT assembly (reference tools/cfgs/waymo_models/
+    dsvt_pillar.yaml + dsvt_voxel.yaml: DynamicVoxelVFE -> DSVT ->
+    PointPillarScatter3d -> BaseBEVBackbone -> CenterHead): mean-VFE
+    voxelize -> DSVTBackbone set attention -> z-collapse to a dense BEV
+    map (sum over the column, reference PointPillarScatter3d semantics
+    for nz==1; the voxel variant folds z by the same segment-sum) ->
+    dense multi-scale 2D trunk -> dense center head. The trunk never
+    strides, so decode runs at BEV-grid stride 1."""
+    det_cfg: "VoxelNeXtConfig"
+    vox_cfg: "VoxelizeConfig"
+
+    def voxel_grid(self):
+        from ..ops.voxelize import VoxelGrid
+        return VoxelGrid.create(self.vox_cfg.point_range,
+                                self.vox_cfg.voxel_size)
+
+    @nn.compact
+    def __call__(self, points: jax.Array, num_points: jax.Array):
+        from ..ops.sparse import bev_collapse, from_voxels, to_dense
+        from ..ops.voxelize import voxelize_mean
+        from .pointpillars import BaseBEVBackbone, DenseCenterHead
+
+        cfg = self.det_cfg
+        grid = self.voxel_grid()
+        vox = voxelize_mean(points, num_points, grid,
+                            max_voxels=self.vox_cfg.max_voxels)
+        st = from_voxels(vox.coords, vox.features, grid.grid_size)
+        st = DSVTBackbone(channels=cfg.dsvt_channels,
+                          num_blocks=cfg.dsvt_blocks,
+                          num_heads=cfg.dsvt_heads,
+                          window=tuple(cfg.dsvt_window),
+                          set_size=cfg.dsvt_set_size,
+                          max_sets=cfg.dsvt_max_sets,
+                          name="backbone3d")(st)
+        bev = to_dense(bev_collapse(st))[:, 0]        # [C, ny, nx]
+        bev = BaseBEVBackbone(layer_channels=(128, 256),
+                              layer_strides=(1, 2),
+                              upsample_channels=(128, 128),
+                              name="backbone2d")(bev)
+        preds = DenseCenterHead(cfg.num_classes, name="head")(bev)
+        return {"bev_dense": bev, "preds": preds}
+
+    def detect(self, points, num_points):
+        from .pointpillars import decode_dense
+        out = self(points, num_points)
+        return decode_dense(out["preds"], self.det_cfg, self.vox_cfg,
+                            stride=1)

@@ -56,6 +56,12 @@ def _build_pointrcnn(det_cfg, vox_cfg):
     return PointRCNNDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
 
 
+@register_detector("DSVT")
+def _build_dsvt(det_cfg, vox_cfg):
+    from .dsvt import DSVTDetector
+    return DSVTDetector(det_cfg=det_cfg, vox_cfg=vox_cfg)
+
+
 @register_detector("BEVFusion")
 def _build_bevfusion(det_cfg, vox_cfg):
     from .bevfusion import BEVFusionDetector
