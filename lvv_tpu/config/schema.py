@@ -187,6 +187,17 @@ class VoxelNeXtConfig:
     dsvt_window: Tuple[int, int, int] = (1, 12, 12)
     dsvt_set_size: int = 36
     dsvt_max_sets: int = 0
+    # learned dynamic VFE before the DSVT trunk (reference DynamicVoxelVFE
+    # / DynamicPillarVFE_3d: a 2-layer PFN over absolute-xyz + cluster +
+    # center offsets); False falls back to mean-voxelize + in_proj
+    dsvt_learned_vfe: bool = True
+    # 2D BEV trunk after the column collapse (reference dsvt yaml
+    # BaseBEVResBackbone: LAYER_NUMS [1,2,2], NUM_FILTERS [128,128,256],
+    # strides [1,2,2], upsample [128,128,128] -> 384-ch map at stride 1)
+    dsvt_bev_channels: Tuple[int, ...] = (128, 128, 256)
+    dsvt_bev_strides: Tuple[int, ...] = (1, 2, 2)
+    dsvt_bev_nums: Tuple[int, ...] = (1, 2, 2)
+    dsvt_bev_upsample: Tuple[int, ...] = (128, 128, 128)
     num_classes: int = 10
     class_names: Tuple[str, ...] = (
         "car", "truck", "construction_vehicle", "bus", "trailer",

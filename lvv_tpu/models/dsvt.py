@@ -44,7 +44,14 @@ def window_coords(st: SparseTensor, window: Tuple[int, int, int],
     reference get_window_coors: shift 1 offsets by half a window."""
     coords = delinearize(st.ids, st.grid)            # (z, y, x)
     wz, wy, wx = window
-    off = jnp.asarray([wz // 2 if shift else 0, wy // 2 if shift else 0,
+    # the reference forces shift_z = 0 when the window covers the full z
+    # extent (dsvt_utils.py get_window_coors:56-57, sparse_shape_z ==
+    # win_shape_z): shifting a full-column window would split every pillar
+    # column into two z-windows and destroy the full-column attention the
+    # voxel variant is designed around
+    nz = int(st.grid[2])
+    shift_z = shift and wz < nz
+    off = jnp.asarray([wz // 2 if shift_z else 0, wy // 2 if shift else 0,
                        wx // 2 if shift else 0], jnp.int32)
     shifted = coords + off[None]
     win = jnp.asarray([wz, wy, wx], jnp.int32)[None]
@@ -114,14 +121,16 @@ def plan_max_sets(ids, grid, window: Tuple[int, int, int],
     ids = ids[ids != int(SENTINEL)]
     if ids.size == 0:
         return bucket
-    nx, ny, _ = grid
+    nx, ny, nz = grid
     z = ids // (nx * ny)
     y = (ids // nx) % ny
     x = ids % nx
     wz, wy, wx = window
     need = 0
     for shift in (False, True):
-        oz, oy, ox = ((wz // 2, wy // 2, wx // 2) if shift else (0, 0, 0))
+        # mirror window_coords: no z shift when the window spans full z
+        oz = wz // 2 if (shift and wz < nz) else 0
+        oy, ox = ((wy // 2, wx // 2) if shift else (0, 0))
         wc = ((z + oz) // wz, (y + oy) // wy, (x + ox) // wx)
         n_wx = -(-nx // wx) + 1
         n_wy = -(-ny // wy) + 1
@@ -227,13 +236,16 @@ class DSVTBackbone(nn.Module):
 
 class DSVTDetector(nn.Module):
     """Registered DSVT assembly (reference tools/cfgs/waymo_models/
-    dsvt_pillar.yaml + dsvt_voxel.yaml: DynamicVoxelVFE -> DSVT ->
-    PointPillarScatter3d -> BaseBEVBackbone -> CenterHead): mean-VFE
-    voxelize -> DSVTBackbone set attention -> z-collapse to a dense BEV
-    map (sum over the column, reference PointPillarScatter3d semantics
-    for nz==1; the voxel variant folds z by the same segment-sum) ->
-    dense multi-scale 2D trunk -> dense center head. The trunk never
-    strides, so decode runs at BEV-grid stride 1."""
+    dsvt_pillar.yaml + dsvt_voxel.yaml: DynamicVoxelVFE/DynamicPillarVFE_3d
+    -> DSVT -> PointPillarScatter3d -> BaseBEVResBackbone -> CenterHead):
+    learned dynamic VFE (2-layer PFN over absolute-xyz + cluster + center
+    offsets; `dsvt_learned_vfe=False` falls back to mean voxelize) ->
+    DSVTBackbone set attention -> z-collapse to a dense BEV map (sum over
+    the column, reference PointPillarScatter3d semantics for nz==1; for
+    voxels this single segment-sum z-fold SIMPLIFIES the reference voxel
+    variant's progressive attention-based z-downsampling, 12x12x32 -> 8 ->
+    2 -> 1) -> 3-level residual 2D trunk upsampled back to stride 1 ->
+    dense center head."""
     det_cfg: "VoxelNeXtConfig"
     vox_cfg: "VoxelizeConfig"
 
@@ -246,12 +258,19 @@ class DSVTDetector(nn.Module):
     def __call__(self, points: jax.Array, num_points: jax.Array):
         from ..ops.sparse import bev_collapse, from_voxels, to_dense
         from ..ops.voxelize import voxelize_mean
-        from .pointpillars import BaseBEVBackbone, DenseCenterHead
+        from .pointpillars import BaseBEVResBackbone, DenseCenterHead
+        from .vfe import DynamicVoxelVFE
 
         cfg = self.det_cfg
         grid = self.voxel_grid()
-        vox = voxelize_mean(points, num_points, grid,
-                            max_voxels=self.vox_cfg.max_voxels)
+        if cfg.dsvt_learned_vfe:
+            vox = DynamicVoxelVFE(out_ch=cfg.dsvt_channels, num_layers=2,
+                                  name="vfe")(
+                points, num_points, grid,
+                max_voxels=self.vox_cfg.max_voxels)
+        else:
+            vox = voxelize_mean(points, num_points, grid,
+                                max_voxels=self.vox_cfg.max_voxels)
         st = from_voxels(vox.coords, vox.features, grid.grid_size)
         st = DSVTBackbone(channels=cfg.dsvt_channels,
                           num_blocks=cfg.dsvt_blocks,
@@ -261,10 +280,12 @@ class DSVTDetector(nn.Module):
                           max_sets=cfg.dsvt_max_sets,
                           name="backbone3d")(st)
         bev = to_dense(bev_collapse(st))[:, 0]        # [C, ny, nx]
-        bev = BaseBEVBackbone(layer_channels=(128, 256),
-                              layer_strides=(1, 2),
-                              upsample_channels=(128, 128),
-                              name="backbone2d")(bev)
+        bev = BaseBEVResBackbone(layer_channels=tuple(cfg.dsvt_bev_channels),
+                                 layer_strides=tuple(cfg.dsvt_bev_strides),
+                                 layer_nums=tuple(cfg.dsvt_bev_nums),
+                                 upsample_channels=tuple(
+                                     cfg.dsvt_bev_upsample),
+                                 name="backbone2d")(bev)
         preds = DenseCenterHead(cfg.num_classes, name="head")(bev)
         return {"bev_dense": bev, "preds": preds}
 

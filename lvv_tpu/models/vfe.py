@@ -114,8 +114,14 @@ class DynamicVoxelVFE(nn.Module):
     """Uncapped 3D voxel encoder (reference dynamic_voxel_vfe.py): the
     decorated-point -> MLP -> segment-max recipe of DynamicPillarVFE over
     TRUE 3D voxels (z participates in the grid and in the center offset).
-    """
+
+    `num_layers=2` stacks a second PFNLayerV2 the reference way
+    (dynamic_pillar_vfe.py PFNLayerV2: non-last layers segment-max their
+    output and concat the pooled voxel feature back onto every point
+    before the next pointwise layer) — the DSVT presets use this
+    (dsvt yamls: NUM_FILTERS [192, 192])."""
     out_ch: int = 64
+    num_layers: int = 1
 
     @nn.compact
     def __call__(self, points: jax.Array, num_points: jax.Array,
@@ -149,12 +155,18 @@ class DynamicVoxelVFE(nn.Module):
                                points[:, :3] - mean_xyz[safe],
                                points[:, :3] - centers[safe]], axis=1)
         dec = jnp.where(valid[:, None], dec, 0.0)
-        h = nn.relu(nn.LayerNorm(name="ln")(Dense(self.out_ch,
-                                                  name="fc")(dec)))
-        h = jnp.where(valid[:, None], h, -jnp.inf)
-        pooled = segment_max(h, jnp.where(valid, slot, max_voxels),
-                             max_voxels + 1)[:max_voxels]
-        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        h = dec
+        seg = jnp.where(valid, slot, max_voxels)
+        for li in range(self.num_layers):
+            h = nn.relu(nn.LayerNorm(name=f"ln{li}" if li else "ln")(
+                Dense(self.out_ch, name=f"fc{li}" if li else "fc")(h)))
+            h = jnp.where(valid[:, None], h, -jnp.inf)
+            pooled = segment_max(h, seg, max_voxels + 1)[:max_voxels]
+            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+            if li < self.num_layers - 1:
+                h = jnp.where(valid[:, None], h, 0.0)
+                h = jnp.concatenate([h, pooled[safe]], axis=1)
+                h = jnp.where(valid[:, None], h, 0.0)
         return Voxels(features=pooled, coords=coords.astype(jnp.int32),
                       num_points=counts[:max_voxels],
                       num_voxels=jnp.sum(slot_ok.astype(jnp.int32)),
