@@ -168,8 +168,12 @@ class MPPNetDetector(nn.Module):
 
     @nn.compact
     def __call__(self, frame_points: jax.Array, frame_counts: jax.Array,
-                 proposals: Detections) -> Detections:
-        """frame_points [T, P, F] (frame 0 = current); frame_counts [T]."""
+                 proposals: Detections, return_preds: bool = False):
+        """frame_points [T, P, F] (frame 0 = current); frame_counts [T].
+
+        `return_preds=True` (training) additionally returns the raw head
+        outputs and the propagated trajectory rois that mppnet_loss's
+        per-frame proposal-target sampling consumes."""
         traj = propagate_trajectories(proposals.boxes, self.num_frames)
         preds = MPPNetHead(num_frames=self.num_frames, samples=self.samples,
                            name="head")(frame_points, frame_counts, traj)
@@ -177,8 +181,13 @@ class MPPNetDetector(nn.Module):
         refined = canonical_decode(preds["reg"].astype(jnp.float32),
                                    proposals.boxes[:, :7])
         boxes9 = jnp.concatenate([refined, proposals.boxes[:, 7:9]], axis=1)
-        return Detections(boxes=boxes9, scores=conf * proposals.scores,
+        dets = Detections(boxes=boxes9, scores=conf * proposals.scores,
                           labels=proposals.labels, count=proposals.count)
+        if return_preds:
+            return {"detections": dets, "preds": preds,
+                    "trajectory_rois": traj,
+                    "rois": proposals.boxes[:, :7]}
+        return dets
 
 
 def subsample_rois(key: jax.Array, max_overlaps: jax.Array,

@@ -59,7 +59,9 @@ class PointRCNNDetector(nn.Module):
             pre_max=min(self.det_cfg.nms_pre_max, points.shape[0]),
             post_max=self.num_rois)
         safe = jnp.maximum(keep, 0)
-        rois = proposals[safe]
+        # proposals are constants to the second stage (reference
+        # proposal_layer runs under no_grad)
+        rois = jax.lax.stop_gradient(proposals[safe])
 
         roi_preds = RoIHead(grid=4, fc_channels=(128,),
                             name="roi_head")(points, feats, rois,
@@ -71,11 +73,30 @@ class PointRCNNDetector(nn.Module):
         return {
             "point_preds": preds, "point_features": feats,
             "rois": rois, "roi_preds": roi_preds,
+            "points": points, "valid_points": valid,
             "detections": Detections(
                 boxes=boxes9, scores=final_scores,
                 labels=jnp.where(keep >= 0, label[safe], -1),
                 count=count),
         }
+
+    def loss(self, out, gt_boxes, gt_labels, gt_mask):
+        """Point-head loss (per-point fg cls + proposal regression) + RoI
+        refinement loss (reference detectors/point_rcnn.py
+        get_training_loss = point_head.get_loss + roi_head.get_loss)."""
+        from .point_head import point_head_loss, point_targets
+        from .roi_head import proposal_targets, roi_head_loss
+        gt = jnp.where(gt_mask[:, None], gt_boxes, 0.0)
+        pt = point_targets(out["points"], gt, gt_labels, gt_mask,
+                           valid_points=out["valid_points"])
+        p_loss, aux = point_head_loss(out["point_preds"], pt,
+                                      self.det_cfg.num_classes,
+                                      valid_points=out["valid_points"])
+        rt = proposal_targets(out["rois"], gt_boxes, gt_mask)
+        r_loss, r_aux = roi_head_loss(out["roi_preds"], rt)
+        aux = dict(aux)
+        aux.update(r_aux)
+        return p_loss + r_loss, aux
 
     def detect(self, points, num_points) -> Detections:
         return self(points, num_points)["detections"]

@@ -151,9 +151,13 @@ class PVRCNNDetector(nn.Module):
             num_keypoints=self.num_keypoints, name="vsa")(
             points, num_points, [st8], [stride], bev, grid, stride)
 
+        # proposals are constants to the second stage (the reference's
+        # proposal layer runs under no_grad, detector3d_template.py
+        # proposal_layer): grads reach the RPN only through its own loss
+        rois = jax.lax.stop_gradient(proposals.boxes[:, :7])
         roi_preds = RoIHead(grid=4, fc_channels=(128, 128), name="roi_head")(
-            kp, kp_feats, proposals.boxes[:, :7])
-        refined, conf = refine_boxes(roi_preds, proposals.boxes[:, :7])
+            kp, kp_feats, rois)
+        refined, conf = refine_boxes(roi_preds, rois)
         boxes9 = jnp.concatenate(
             [refined, jnp.zeros((refined.shape[0], 2))], axis=1)
         return {
@@ -164,7 +168,33 @@ class PVRCNNDetector(nn.Module):
             "keypoints": kp, "keypoint_features": kp_feats,
             "rpn_preds": preds, "anchors": jnp.asarray(anchors),
             "anchor_cls": jnp.asarray(acls),
+            "rois": rois, "roi_preds": roi_preds,
         }
+
+    def loss(self, out, gt_boxes, gt_labels, gt_mask):
+        """Two-stage loss: RPN anchor loss + RoI refinement loss
+        (reference detectors/pv_rcnn.py get_training_loss = anchor head +
+        point head + roi head; the keypoint-segmentation weighting term is
+        folded out — keypoint features are unweighted here)."""
+        return two_stage_loss(out, gt_boxes, gt_labels, gt_mask,
+                              self.det_cfg.num_classes)
 
     def detect(self, points, num_points) -> Detections:
         return self(points, num_points)["detections"]
+
+
+def two_stage_loss(out, gt_boxes, gt_labels, gt_mask, num_classes: int):
+    """Shared anchor-RPN + RoI-head training loss (reference
+    tools/train.py -> get_training_loss for PVRCNN/PVRCNNPlusPlus:
+    rpn_loss + rcnn_loss over proposal_target_layer matches)."""
+    from .anchor_head import anchor_head_loss, assign_anchor_targets
+    from .roi_head import proposal_targets, roi_head_loss
+    targets = assign_anchor_targets(out["anchors"], out["anchor_cls"],
+                                    gt_boxes, gt_labels, gt_mask)
+    rpn_loss, aux = anchor_head_loss(out["rpn_preds"], targets, num_classes)
+    rt = proposal_targets(out["rois"], gt_boxes, gt_mask)
+    roi_loss, roi_aux = roi_head_loss(out["roi_preds"], rt)
+    aux = dict(aux)
+    aux.update(roi_aux)
+    aux["rpn_loss"] = rpn_loss
+    return rpn_loss + roi_loss, aux

@@ -148,9 +148,12 @@ class PVRCNNPlusPlusDetector(nn.Module):
             num_keypoints=self.num_keypoints, name="vsa")(
             points, kp_mask, [st8], [stride], bev, grid, stride)
 
+        # proposals are constants to the second stage (reference
+        # proposal_layer runs under no_grad)
+        rois = jax.lax.stop_gradient(proposals.boxes[:, :7])
         roi_preds = RoIHead(grid=4, fc_channels=(128, 128), name="roi_head")(
-            kp, kp_feats, proposals.boxes[:, :7])
-        refined, conf = refine_boxes(roi_preds, proposals.boxes[:, :7])
+            kp, kp_feats, rois)
+        refined, conf = refine_boxes(roi_preds, rois)
         boxes9 = jnp.concatenate(
             [refined, jnp.zeros((refined.shape[0], 2))], axis=1)
         return {
@@ -161,7 +164,15 @@ class PVRCNNPlusPlusDetector(nn.Module):
             "keypoints": kp, "keypoint_features": kp_feats,
             "rpn_preds": preds, "anchors": jnp.asarray(anchors),
             "anchor_cls": jnp.asarray(acls),
+            "rois": rois, "roi_preds": roi_preds,
         }
+
+    def loss(self, out, gt_boxes, gt_labels, gt_mask):
+        """RPN anchor loss + RoI refinement loss (reference
+        detectors/pv_rcnn_plusplus.py get_training_loss)."""
+        from .pv_rcnn import two_stage_loss
+        return two_stage_loss(out, gt_boxes, gt_labels, gt_mask,
+                              self.det_cfg.num_classes)
 
     def detect(self, points, num_points) -> Detections:
         return self(points, num_points)["detections"]

@@ -100,8 +100,11 @@ def roi_head_loss(preds: Dict, targets: RoITargets,
     """BCE on IoU-soft labels + smooth-L1 on fg reg (reference
     partA2_head get_loss)."""
     logits = preds["cls"].astype(jnp.float32)
-    bce = jnp.maximum(logits, 0) - logits * targets.cls_tgt + \
-        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    # logaddexp(0, l) - l*t: same value as the max/abs formulation but
+    # with grad sigmoid(l) - t EVERYWHERE — the max(l,0)+log1p(exp(-|l|))
+    # form has exact-zero grad at l == 0 (sign(0) = 0 + max-tie), which is
+    # precisely where a zero-init head starts
+    bce = jnp.logaddexp(0.0, logits) - logits * targets.cls_tgt
     n_valid = jnp.maximum(jnp.sum(targets.valid), 1)
     cls_loss = jnp.sum(bce * targets.valid) / n_valid
 

@@ -778,6 +778,115 @@ def window_attention_packed(qkv, rel_h, rel_w, *, scale: float, heads: int,
     )(qkv, rhf, rwf, eh, ew)
 
 
+def _window_fused_kernel(qkv_ref, qrh_ref, qrw_ref, et_ref, o_ref, *,
+                         heads: int, scale: float, wchunk: int = 1):
+    """One program per window; heads looped; bias folded into the score
+    contraction.
+
+    qkv_ref [1, S, 3*C] is the raw qkv Dense output. qrh_ref/qrw_ref
+    [1, heads, S, win] carry q·Rh / q·Rw (tiny, XLA-side transpose-light
+    einsums), pre-scaled by log2(e). et_ref [S, 2*win] = concat(
+    onehot(kh), onehot(kw)). Per head the kernel builds augmented
+    operands in VMEM — q_aug = concat(q*scale*log2e, qrh_h, qrw_h),
+    k_aug = concat(k, et) — and the score matmul's contraction depth goes
+    hd=64 -> hd+2*win=92, still inside the one 128-deep MXU pass that
+    depth-64 bf16 already pads to. Both decomposed rel-pos bias terms
+    therefore ride for free: no qtile broadcast, no masked-select
+    matmuls, no one-hot expander matmuls, no [S, S] bias adds (the
+    packed kernel's per-head bias construction). Softmax is base-2."""
+    s = qkv_ref.shape[1]
+    c = qkv_ref.shape[2] // 3
+    hd = c // heads
+    et = et_ref[...]
+    qscale = jnp.float32(scale * _LOG2E)
+    for wi in range(wchunk):
+        qkv = qkv_ref[wi]
+        for h in range(heads):
+            # operands stay in the storage dtype (bf16 feeds the MXU at
+            # full rate); only the scale multiply runs in fp32 first
+            q = qkv[:, h * hd:(h + 1) * hd]
+            qs = (q.astype(jnp.float32) * qscale).astype(q.dtype)
+            k = qkv[:, c + h * hd:c + (h + 1) * hd]
+            v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            q_aug = jnp.concatenate([qs, qrh_ref[wi, h], qrw_ref[wi, h]],
+                                    axis=1)
+            k_aug = jnp.concatenate([k, et], axis=1)
+            logits = jax.lax.dot_general(q_aug, k_aug,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp2(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[wi, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "win",
+                                             "wchunk", "interpret"))
+def window_attention_fused(qkv, rel_h, rel_w, *, scale: float, heads: int,
+                           win: int, wchunk: int = 1,
+                           interpret: bool = False) -> jax.Array:
+    """Window self-attention over packed qkv with the rel-pos bias folded
+    into the score contraction (the fused-bias trick from the SAM global
+    layers applied to the 14x14 windows).
+
+    qkv [B, S, 3*C] (S = win*win, row-major window tokens); rel_h/rel_w
+    [win, win, hd] = resize_rel_pos tables indexed [q_coord, k_coord,
+    channel]. Returns [B, S, C] (pre-projection).
+
+    The only XLA-side prep is the q·Rh / q·Rw einsums over the
+    head-innermost reshape of the q slice — [B, heads, S, win] outputs,
+    ~10 MB at the SAM shape (the full augmented-operand variant that
+    materialized [B, S, heads*128] tensors in HBM LOST the A/B: 3.6 ms vs
+    2.4 ms packed — HBM traffic ate the kernel win). Requires
+    hd + 2*win <= 128.
+    """
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    assert s == win * win and hd + 2 * win <= _LANE, (s, win, hd)
+    f32 = jnp.float32
+    q = qkv[..., :c].reshape(b, win, win, heads, hd)
+    # log2(e) folded in: the kernel's softmax runs base-2 (exact-equivalent)
+    rh = rel_h.astype(f32) * _LOG2E
+    rw = rel_w.astype(f32) * _LOG2E
+    # original SAM adds q·R with UNSCALED q (sam_vary_sdpa.py:373-413)
+    q_rh = jnp.einsum("bxyhd,xkd->bhxyk", q.astype(f32), rh,
+                      preferred_element_type=f32)
+    q_rw = jnp.einsum("bxyhd,ykd->bhxyk", q.astype(f32), rw,
+                      preferred_element_type=f32)
+    q_rh = q_rh.reshape(b, heads, s, win).astype(qkv.dtype)
+    q_rw = q_rw.reshape(b, heads, s, win).astype(qkv.dtype)
+
+    kh = jnp.arange(s) // win
+    kw = jnp.arange(s) % win
+    eh = (kh[:, None] == jnp.arange(win)[None, :])
+    ew = (kw[:, None] == jnp.arange(win)[None, :])
+    et = jnp.concatenate([eh, ew], axis=1).astype(qkv.dtype)   # [S, 2*win]
+
+    assert b % wchunk == 0, (b, wchunk)
+    kernel = functools.partial(_window_fused_kernel, heads=heads,
+                               scale=scale, wchunk=wchunk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // wchunk,),
+        in_specs=[
+            pl.BlockSpec((wchunk, s, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((wchunk, heads, s, win), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((wchunk, heads, s, win), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((s, 2 * win), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((wchunk, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # wchunk > 4 holds several windows' qkv blocks at once
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, q_rh, q_rw, et)
+
+
 def attention(q, k, v, *, causal: bool = False,
               kv_len: Optional[jax.Array] = None,
               bias: Optional[jax.Array] = None,

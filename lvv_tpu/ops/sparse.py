@@ -58,10 +58,39 @@ def overflow_debug_enabled() -> bool:
     return _OVERFLOW_DEBUG
 
 
+_OVERFLOW_LOG: dict = {}
+
+
+def overflow_log() -> dict:
+    """tag -> {"demand": max true count seen, "cap": capacity, "dropped":
+    max sites dropped} recorded while overflow debug was enabled. The
+    capacity-schedule stress tests assert on this; production leaves the
+    debug flag off (zero overhead — report_overflow compiles away)."""
+    return {k: dict(v) for k, v in _OVERFLOW_LOG.items()}
+
+
+def reset_overflow_log() -> None:
+    _OVERFLOW_LOG.clear()
+
+
 def report_overflow(tag: str, num_true: jax.Array, capacity: int) -> None:
-    """Emit `[capacity-overflow] tag: true N > cap C` when truncating."""
+    """Emit `[capacity-overflow] tag: true N > cap C` when truncating, and
+    record the demand in the host-side overflow log."""
     if not _OVERFLOW_DEBUG:
         return
+
+    def _rec(n):
+        n = int(n)
+        # keyed by (tag, cap): the shared "sparse_conv" tag covers every
+        # trunk stage — distinct capacities keep the stages apart
+        e = _OVERFLOW_LOG.setdefault(
+            f"{tag}@{int(capacity)}",
+            {"demand": 0, "cap": int(capacity), "dropped": 0})
+        e["demand"] = max(e["demand"], n)
+        e["dropped"] = max(e["dropped"], max(n - int(capacity), 0))
+
+    jax.debug.callback(_rec, num_true)
+
     def _warn(n):
         jax.debug.print(
             "[capacity-overflow] " + tag + ": true {n} > cap "

@@ -30,11 +30,16 @@ def detector_loss(det, out: Dict, boxes, labels, mask,
     Detector3DTemplate.get_training_loss overridden per detector):
 
     1. detector module exposes `.loss(out, gt, labels, mask)` -> use it
-       (SECOND/SECONDNetIoU/VoxelRCNN/PartA2 style);
+       (SECOND/SECONDNetIoU/VoxelRCNN/PartA2 style; the proposal-
+       refinement families PVRCNN/PVRCNNPlusPlus/PointRCNN route here too
+       — two_stage_loss / point-head + roi-head wiring lives on the
+       detector classes);
     2. `bev_sparse` in out -> sparse VoxelNeXt loss;
     3. dense center-head preds (ndarray `hm`) -> dense_center_loss
        (PointPillars/CenterPoint/PillarNet);
     4. query-head preds (`cls`+`box`) -> transfusion_loss.
+
+    MPPNet consumes multi-frame batches — use make_mppnet_train_step.
     """
     loss_method = getattr(type(det), "loss", None)
     if callable(loss_method):
@@ -62,8 +67,9 @@ def detector_loss(det, out: Dict, boxes, labels, mask,
                                 vox_cfg, stride)
     raise NotImplementedError(
         f"{type(det).__name__} needs a family-specific training driver "
-        "(image-input or proposal-refinement families train through their "
-        "own step; see the family's test for the wiring)")
+        "(image-input families train through their own step — CaDDN/"
+        "BEVFusion take camera tensors; MPPNet takes multi-frame batches "
+        "via make_mppnet_train_step)")
 
 
 def make_detector_train_step(det, tx, det_cfg: VoxelNeXtConfig,
@@ -119,6 +125,55 @@ def make_detector_train_step(det, tx, det_cfg: VoxelNeXtConfig,
         metrics = {k: jnp.mean(v) for k, v in aux.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
         return (new_vars, opt_state), metrics
+
+    return jax.jit(step)
+
+
+def make_mppnet_train_step(det, tx):
+    """Train step for the MPPNet offline refinement family (reference
+    tools/train.py over detectors/mppnet.py: the dataset supplies T-frame
+    ego-aligned point stacks + precomputed first-stage proposals, the
+    head refines trajectories, loss = ProposalTargetLayerMPPNet sampling
+    -> roi cls/reg loss).
+
+    batch: frame_points [B, T, P, F], frame_counts [B, T],
+    prop_boxes [B, R, 9], prop_scores [B, R], prop_labels [B, R],
+    prop_count [B], gt_boxes [B, G, 9], gt_mask [B, G], rng [2] uint32.
+    -> jit'd ((params, opt_state), batch) -> state + metrics.
+    """
+    from ..models.mppnet import mppnet_loss
+    from ..models.voxelnext import Detections
+
+    def one_sample_loss(params, key, fp, fc, pb, ps, pl_, pc, boxes, mask):
+        proposals = Detections(boxes=pb, scores=ps, labels=pl_, count=pc)
+        out = det.apply(params, fp, fc, proposals, return_preds=True)
+        loss, aux = mppnet_loss(out["preds"], out["rois"], boxes, mask,
+                                key=key,
+                                trajectory_rois=out["trajectory_rois"])
+        aux = dict(aux)
+        aux.setdefault("loss", loss)
+        return loss, aux
+
+    def step(state, batch):
+        params, opt_state = state
+        keys = jax.random.split(batch["rng"], batch["gt_boxes"].shape[0])
+
+        def loss_fn(p):
+            losses, aux = jax.vmap(
+                lambda *xs: one_sample_loss(p, *xs)
+            )(keys, batch["frame_points"], batch["frame_counts"],
+              batch["prop_boxes"], batch["prop_scores"],
+              batch["prop_labels"], batch["prop_count"],
+              batch["gt_boxes"], batch["gt_mask"])
+            return jnp.mean(losses), aux
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {k: jnp.mean(v) for k, v in aux.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (params, opt_state), metrics
 
     return jax.jit(step)
 

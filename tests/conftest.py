@@ -29,6 +29,31 @@ assert len(jax.devices()) == 8, (
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Tiered suite: every test is `fast` unless its file (or an explicit marker)
+# says `slow`. `pytest -m fast` is the smoke tier — it finishes in ~5 min on
+# one CPU core (the full 500+-test suite cannot run whole on a small host).
+# The file classification comes from a measured per-file timing sweep
+# (tests/FILE_TIMINGS.json, tools/time_test_files.py); re-run the sweep when
+# adding heavyweight files.
+# ---------------------------------------------------------------------------
+SLOW_FILES = set()
+_timings = os.path.join(os.path.dirname(__file__), "FILE_TIMINGS.json")
+if os.path.exists(_timings):
+    import json as _json
+    with open(_timings) as _f:
+        SLOW_FILES = {k for k, v in _json.load(_f).items()
+                      if v.get("tier") == "slow"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in SLOW_FILES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():

@@ -176,3 +176,38 @@ def test_flash_relpos_quant8_close_to_float(rng):
     assert np.abs(out - ref).max() <= 2.5 * v_scale / 254
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 0.03
+
+
+@pytest.mark.parametrize("win,heads,hd", [(4, 2, 32), (7, 3, 64),
+                                          (14, 12, 64)])
+def test_window_attention_fused_matches_oracle(key, win, heads, hd):
+    """Fused-bias window kernel (bias folded into the augmented score
+    contraction, exp2 softmax) vs the materialized-bias oracle."""
+    import numpy as np
+    from lvv_tpu.ops.attention import window_attention_fused
+    b, s, c = 2, win * win, heads * hd
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, heads, s, hd))
+    k = jax.random.normal(ks[1], (b, heads, s, hd))
+    v = jax.random.normal(ks[2], (b, heads, s, hd))
+    rel_h = jax.random.normal(ks[3], (win, win, hd)) * 0.3
+    rel_w = jax.random.normal(ks[4], (win, win, hd)) * 0.3
+
+    qn = np.asarray(q)
+    bias = np.zeros((b, heads, s, s), np.float32)
+    for t in range(s):
+        for kt in range(s):
+            bias[:, :, t, kt] = (
+                (qn[:, :, t] * np.asarray(rel_h)[t // win, kt // win]).sum(-1)
+                + (qn[:, :, t] * np.asarray(rel_w)[t % win, kt % win]).sum(-1))
+    ref = attention_reference(q, k, v, bias=jnp.asarray(bias),
+                              scale=1.0 / math.sqrt(hd))
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(b, s, c)
+
+    def merge(x):
+        return np.asarray(x).transpose(0, 2, 1, 3).reshape(b, s, c)
+    qkv = jnp.asarray(np.concatenate([merge(q), merge(k), merge(v)], -1))
+    out = window_attention_fused(qkv, rel_h, rel_w,
+                                 scale=1.0 / math.sqrt(hd), heads=heads,
+                                 win=win, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)

@@ -1,0 +1,141 @@
+"""Training drivers for the proposal-refinement detector families.
+
+The reference trains EVERY registered detector through one driver
+(tools/train.py:68-229 + train_utils/train_utils.py:11-130, loss from
+Detector3DTemplate.get_training_loss per family). These tests prove the
+rebuild's equivalents: PVRCNN / PVRCNNPlusPlus / PointRCNN carry `.loss`
+methods (two_stage_loss / point-head + roi-head) so the generic
+make_detector_train_step drives them; MPPNet trains through
+make_mppnet_train_step over multi-frame batches with the per-frame
+ProposalTargetLayerMPPNet sampling.
+
+Each family gets: finite loss + finite nonzero grads through BOTH stages,
+and loss decreases when optimizing one batch.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from lvv_tpu.config import tiny_config
+from lvv_tpu.models.registry import build_detector
+from lvv_tpu.train.detector import (make_detector_train_step,
+                                    make_mppnet_train_step)
+
+
+def _batch(rng, b=1, n=256):
+    pts = rng.uniform(-7.5, 7.5, (b, n, 4)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-2.5, 0.5, (b, n))
+    # plant points inside the gt box so fg targets exist
+    pts[:, :40, 0] = rng.uniform(-1.8, 1.8, (b, 40))
+    pts[:, :40, 1] = rng.uniform(-0.8, 0.8, (b, 40))
+    pts[:, :40, 2] = rng.uniform(-1.6, -0.4, (b, 40))
+    return {
+        "points": jnp.asarray(pts),
+        "num_points": jnp.full((b,), n, jnp.int32),
+        "gt_boxes": jnp.asarray([[[0.0, 0, -1, 4, 2, 1.5, 0.3, 0, 0]]] * b,
+                                jnp.float32),
+        "gt_labels": jnp.zeros((b, 1), jnp.int32),
+        "gt_mask": jnp.ones((b, 1), bool),
+    }
+
+
+def _grad_norms_by(grads, *substrings):
+    leaves = jax.tree_util.tree_flatten_with_path(grads)[0]
+    out = {s: 0.0 for s in substrings}
+    for path, leaf in leaves:
+        ks = jax.tree_util.keystr(path)
+        for s in substrings:
+            if s in ks:
+                out[s] += float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+    return out
+
+
+@pytest.mark.parametrize("name,stage1_key", [
+    ("PVRCNN", "rpn"),
+    ("PVRCNNPlusPlus", "rpn"),
+    ("PointRCNN", "point_head"),
+])
+def test_proposal_family_trains(name, stage1_key):
+    cfg = tiny_config()
+    det = build_detector(name, cfg.model.voxelnext, cfg.voxelize)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    params = det.init(jax.random.PRNGKey(0), batch["points"][0],
+                      batch["num_points"][0])
+
+    # grads reach BOTH stages and are finite
+    def loss_fn(p):
+        out = det.apply({**params, "params": p}, batch["points"][0],
+                        batch["num_points"][0])
+        loss, _ = det.loss(out, batch["gt_boxes"][0],
+                           batch["gt_labels"][0], batch["gt_mask"][0])
+        return loss
+
+    loss0 = float(loss_fn(params["params"]))
+    assert np.isfinite(loss0)
+    grads = jax.grad(loss_fn)(params["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    norms = _grad_norms_by(grads, stage1_key, "roi_head")
+    assert norms[stage1_key] > 0, f"no grads in stage-1 ({stage1_key})"
+    assert norms["roi_head"] > 0, "no grads in the RoI head"
+
+    # the generic driver descends on one batch
+    tx = optax.adam(3e-3)
+    step = make_detector_train_step(det, tx, cfg.model.voxelnext,
+                                    cfg.voxelize)
+    state = (params, tx.init(params["params"]))
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_mppnet_trains():
+    cfg = tiny_config()
+    det = build_detector("MPPNet", cfg.model.voxelnext, cfg.voxelize)
+    rng = np.random.default_rng(1)
+    b, t, p, r = 1, det.num_frames, 128, 8
+    fp = rng.uniform(-6, 6, (b, t, p, 4)).astype(np.float32)
+    fp[..., :60, 0] = rng.uniform(-1.8, 1.8, (b, t, 60))
+    fp[..., :60, 1] = rng.uniform(-0.8, 0.8, (b, t, 60))
+    fp[..., :60, 2] = rng.uniform(-1.6, -0.4, (b, t, 60))
+    pb = np.zeros((b, r, 9), np.float32)
+    pb[..., 3:6] = rng.uniform(1.0, 4.0, (b, r, 3))
+    pb[:, 0, :7] = [0.3, -0.2, -1, 4, 2, 1.5, 0.25]   # near the gt
+    batch = {
+        "frame_points": jnp.asarray(fp),
+        "frame_counts": jnp.full((b, t), p, jnp.int32),
+        "prop_boxes": jnp.asarray(pb),
+        "prop_scores": jnp.full((b, r), 0.7, jnp.float32),
+        "prop_labels": jnp.zeros((b, r), jnp.int32),
+        "prop_count": jnp.full((b,), r, jnp.int32),
+        "gt_boxes": jnp.asarray([[[0.0, 0, -1, 4, 2, 1.5, 0.3, 0, 0]]] * b,
+                                jnp.float32),
+        "gt_mask": jnp.ones((b, 1), bool),
+        "rng": jax.random.PRNGKey(7),
+    }
+    from lvv_tpu.models.voxelnext import Detections
+    proposals0 = Detections(boxes=batch["prop_boxes"][0],
+                            scores=batch["prop_scores"][0],
+                            labels=batch["prop_labels"][0],
+                            count=batch["prop_count"][0])
+    params = det.init(jax.random.PRNGKey(0), batch["frame_points"][0],
+                      batch["frame_counts"][0], proposals0)
+
+    # 3e-3 oscillates on the sampled-roi objective; 1e-3 descends cleanly
+    tx = optax.adam(1e-3)
+    step = make_mppnet_train_step(det, tx)
+    state = (params, tx.init(params))
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+    assert all(np.isfinite(losses))
+    assert float(metrics["grad_norm"]) > 0
+    assert losses[-1] < losses[0]

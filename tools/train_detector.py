@@ -25,6 +25,34 @@ import time
 import numpy as np
 
 
+def synthetic_mppnet_batch(rng, b, n_frames, n_pts, n_gt, n_rois,
+                           point_range):
+    """Multi-frame MPPNet batch: ego-aligned frame stacks + noisy-gt
+    proposals (the synthetic stand-in for the reference's precomputed
+    ROI_BOXES_PATH CenterPoint boxes)."""
+    base = synthetic_batch(rng, b, n_pts, n_gt, point_range)
+    fp = rng.uniform(point_range[0], point_range[3],
+                     (b, n_frames, n_pts, 4)).astype(np.float32)
+    fp[..., 2] = rng.uniform(point_range[2], point_range[5],
+                             (b, n_frames, n_pts))
+    pb = np.zeros((b, n_rois, 9), np.float32)
+    pb[:, :n_gt] = base["gt_boxes"] + rng.normal(
+        0, 0.3, (b, n_gt, 9)).astype(np.float32)
+    pb[:, n_gt:, :2] = rng.uniform(point_range[0] * 0.8,
+                                   point_range[3] * 0.8,
+                                   (b, n_rois - n_gt, 2))
+    pb[:, n_gt:, 3:6] = rng.uniform(1.0, 4.0, (b, n_rois - n_gt, 3))
+    return {
+        "frame_points": fp,
+        "frame_counts": np.full((b, n_frames), n_pts, np.int32),
+        "prop_boxes": pb,
+        "prop_scores": np.full((b, n_rois), 0.5, np.float32),
+        "prop_labels": np.zeros((b, n_rois), np.int32),
+        "prop_count": np.full((b,), n_rois, np.int32),
+        "gt_boxes": base["gt_boxes"], "gt_mask": base["gt_mask"],
+    }
+
+
 def synthetic_batch(rng, b, n_pts, n_gt, point_range):
     pts = rng.uniform(point_range[0], point_range[3],
                       (b, n_pts, 4)).astype(np.float32)
@@ -39,6 +67,125 @@ def synthetic_batch(rng, b, n_pts, n_gt, point_range):
     return {"points": pts, "num_points": np.full((b,), n_pts, np.int32),
             "gt_boxes": boxes, "gt_labels": labels,
             "gt_mask": np.ones((b, n_gt), bool)}
+
+
+def run_mppnet(args, cfg, det, rng) -> None:
+    """MPPNet training loop (reference tools/train.py over
+    detectors/mppnet.py): multi-frame batches + precomputed proposals.
+
+    --synthetic fabricates frame stacks and noisy-gt proposals; real data
+    uses a sequence-mode dataset (--seq-offsets) with --proposals (npz
+    keyed by token; jittered-gt fallback for smoke runs)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from lvv_tpu.train.checkpoints import CheckpointManager
+    from lvv_tpu.train.detector import make_mppnet_train_step
+
+    n_frames = det.num_frames
+    max_per_frame = cfg.voxelize.max_points // max(n_frames, 1)
+    n_rois = 32
+
+    if args.synthetic:
+        fixed = synthetic_mppnet_batch(
+            rng, args.batch, n_frames, max_per_frame, 8, n_rois,
+            cfg.voxelize.point_range)
+
+        def batch_stream():
+            while True:
+                yield fixed
+    else:
+        from lvv_tpu.data.detection_dataset import (build_dataset,
+                                                    stack_sequence_frames)
+        offsets = args.seq_offsets or [-(i + 1)
+                                       for i in range(n_frames - 1)]
+        ds = build_dataset(args.dataset, dataroot=args.dataroot,
+                           info_path=args.info_path,
+                           point_range=cfg.voxelize.point_range,
+                           max_points=cfg.voxelize.max_points,
+                           max_gt=args.max_gt,
+                           sequence_offsets=offsets)
+        if len(ds) == 0:
+            raise SystemExit("dataset is empty — check --info-path")
+        props = np.load(args.proposals) if args.proposals else None
+        if props is None:
+            print("[mppnet] no --proposals; jittered-gt proposals "
+                  "(smoke mode — the reference trains on precomputed "
+                  "CenterPoint boxes, ROI_BOXES_PATH)")
+
+        def one(i):
+            s = ds[int(i)]
+            fp, fc = stack_sequence_frames(s["points"], s["frame_counts"],
+                                           max_per_frame)
+            if fp.shape[0] < n_frames:      # short sequences pad with empty
+                pad = np.zeros((n_frames - fp.shape[0],) + fp.shape[1:],
+                               fp.dtype)
+                fp = np.concatenate([fp, pad])
+                fc = np.concatenate(
+                    [fc, np.zeros(n_frames - len(fc), np.int32)])
+            fp, fc = fp[:n_frames], fc[:n_frames]
+            pb = np.zeros((n_rois, 9), np.float32)
+            if props is not None and s["token"] in props:
+                got = np.asarray(props[s["token"]], np.float32)
+                pb[:min(n_rois, len(got)), :got.shape[1]] = \
+                    got[:n_rois, :9]
+            else:
+                g = np.asarray(s["gt_boxes"], np.float32)
+                m = np.asarray(s["gt_mask"], bool)
+                g = g[m][:n_rois]
+                pb[:len(g)] = g + rng.normal(0, 0.3, g.shape)
+            return {"frame_points": fp, "frame_counts": fc,
+                    "prop_boxes": pb,
+                    "prop_scores": np.full((n_rois,), 0.5, np.float32),
+                    "prop_labels": np.zeros((n_rois,), np.int32),
+                    "prop_count": np.int32(n_rois),
+                    "gt_boxes": s["gt_boxes"], "gt_mask": s["gt_mask"]}
+
+        def batch_stream():
+            while True:
+                order = rng.permutation(len(ds))
+                for st in range(0, len(order) - args.batch + 1, args.batch):
+                    rows = [one(i) for i in order[st:st + args.batch]]
+                    yield {k: np.stack([r[k] for r in rows])
+                           for k in rows[0]}
+
+    stream = batch_stream()
+    batch = next(stream)
+    from lvv_tpu.models.voxelnext import Detections
+    proposals0 = Detections(boxes=jnp.asarray(batch["prop_boxes"][0]),
+                            scores=jnp.asarray(batch["prop_scores"][0]),
+                            labels=jnp.asarray(batch["prop_labels"][0]),
+                            count=jnp.asarray(batch["prop_count"][0]))
+    params = det.init(jax.random.PRNGKey(0),
+                      jnp.asarray(batch["frame_points"][0]),
+                      jnp.asarray(batch["frame_counts"][0]), proposals0)
+    sched = optax.warmup_cosine_decay_schedule(
+        args.lr / 10, args.lr, max(args.steps // 10, 1), args.steps)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(sched))
+    step = make_mppnet_train_step(det, tx)
+    state = (params, tx.init(params))
+    ckpt = CheckpointManager(args.out + "/checkpoints")
+    key = jax.random.PRNGKey(11)
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        key, sub = jax.random.split(key)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb["rng"] = sub
+        state, metrics = step(state, jb)
+        if i + 1 < args.steps:
+            batch = next(stream)
+        dt = time.perf_counter() - t0
+        if i % args.log_every == 0 or i == args.steps - 1:
+            extras = " ".join(
+                f"{k} {float(v):.4f}" for k, v in sorted(metrics.items())
+                if k != "loss")
+            print(f"[{i}] loss {float(metrics['loss']):.4f} {extras} "
+                  f"{dt * 1e3:.0f} ms")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            ckpt.save(state[0], step=i + 1, cfg=cfg)
+    ckpt.save(state[0], step=args.steps, cfg=cfg)
+    print(json.dumps({"steps": args.steps,
+                      "final_loss": float(metrics["loss"])}))
 
 
 def main() -> None:
@@ -67,6 +214,13 @@ def main() -> None:
                         "SAMPLE_GROUPS); default 2 per dataset class")
     p.add_argument("--cbgs", action="store_true",
                    help="class-balanced resampling (nuScenes CBGS)")
+    p.add_argument("--proposals", default=None,
+                   help="MPPNet: .npz of precomputed first-stage boxes "
+                        "keyed by sample token (reference ROI_BOXES_PATH); "
+                        "absent -> jittered-gt proposals (smoke mode)")
+    p.add_argument("--seq-offsets", type=int, nargs="*", default=None,
+                   help="MPPNet real data: previous-frame offsets for the "
+                        "sequence dataset mode, e.g. --seq-offsets -1 -2 -3")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -94,6 +248,9 @@ def main() -> None:
     det = build_detector(detector, cfg.model.voxelnext, cfg.voxelize)
 
     rng = np.random.default_rng(0)
+    if detector in ("MPPNet", "MPPNetE2E"):
+        run_mppnet(args, cfg, det, rng)
+        return
     if args.synthetic:
         fixed = synthetic_batch(rng, args.batch,
                                 cfg.voxelize.max_points // 4, 8,
@@ -169,9 +326,13 @@ def main() -> None:
             batch = next(stream)             # host load overlaps the step
         dt = time.perf_counter() - t0
         if i % args.log_every == 0 or i == args.steps - 1:
-            print(f"[{i}] loss {float(metrics['loss']):.4f} "
-                  f"hm {float(metrics['hm_loss']):.4f} "
-                  f"reg {float(metrics['reg_loss']):.4f} {dt * 1e3:.0f} ms")
+            # families emit different aux keys (hm/reg for center heads,
+            # cls/box/dir for anchor heads, rpn/roi for two-stage)
+            extras = " ".join(
+                f"{k} {float(v):.4f}" for k, v in sorted(metrics.items())
+                if k not in ("loss", "grad_norm"))
+            print(f"[{i}] loss {float(metrics['loss']):.4f} {extras} "
+                  f"{dt * 1e3:.0f} ms")
         if args.save_every and (i + 1) % args.save_every == 0:
             ckpt.save(state[0], step=i + 1, cfg=cfg)
     ckpt.save(state[0], step=args.steps, cfg=cfg)
