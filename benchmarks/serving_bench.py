@@ -135,6 +135,22 @@ def main():
             images=rng.integers(0, 256, (6, s, s, 3), dtype=np.uint8),
             view_valid=np.asarray(view_valid[0]),
             text_ids=np.asarray(prompt[0]), text_len=t)
+        if os.environ.get("LVV_BENCH_PRESTAGED", "0") == "1":
+            # device-resident sensors: measures the ENGINE (scheduler +
+            # chip) with ingest off the critical path. Through the axon
+            # relay the host->device link runs ~40 MB/s, so the host-format
+            # rows above are ingest-bound at ~1 frame/s no matter what the
+            # chip does (the old engine_1=0.957 row was exactly this link,
+            # mislabeled as engine throughput). A production host feeds
+            # the engine from its NIC/DMA at GB/s — this mode is the
+            # honest stand-in. Rows record under *_dev keys.
+            import jax as _jax
+            row_lean = dict(
+                bev=_jax.device_put(np.asarray(bev[0], np.float16)),
+                images=_jax.device_put(row_lean["images"]),
+                view_valid=row_lean["view_valid"],
+                text_ids=row_lean["text_ids"], text_len=t)
+            sfx = sfx + "_dev"
 
         if os.environ.get("LVV_BENCH_ENGINE", "0") == "1":
             # steady-state throughput through the PRODUCT serving path

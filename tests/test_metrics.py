@@ -70,3 +70,33 @@ def test_metrics_by_template_split():
     assert "caption" in out and "grounding" in out
     assert out["caption"]["bleu4"] > 0.0
     assert out["grounding"]["top1_class_acc"] == 1.0
+
+
+def test_caption_metrics_live():
+    """End-to-end caption metrics with the REAL deps (pycocoevalcap SPICE
+    needs Java, bert_score needs torch) — live inside the Docker image
+    (docker/Dockerfile installs them); skipped where the deps are absent.
+    The dep-gated wiring itself is covered by the fake-module tests."""
+    import pytest
+
+    from lvv_tpu.train.metrics import bertscore, bleu4, cider, spice
+
+    cands = ["a car drives down the street", "two people crossing"]
+    refs = ["a car is driving down the street", "two people cross the road"]
+    b = bleu4(cands, refs)
+    c = cider(cands, refs)
+    assert 0.0 <= b <= 1.0 and c >= 0.0
+
+    try:
+        import pycocoevalcap  # noqa: F401
+    except ImportError:
+        pytest.skip("pycocoevalcap not installed (Docker image has it)")
+    s = spice(cands, refs)
+    assert s is None or 0.0 <= s <= 1.0
+
+    try:
+        import bert_score  # noqa: F401
+    except ImportError:
+        pytest.skip("bert_score not installed (Docker image has it)")
+    f1 = bertscore(cands, refs)
+    assert f1 is None or -1.0 <= f1 <= 1.0

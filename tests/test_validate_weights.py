@@ -104,3 +104,44 @@ def test_qwen_golden_fixture_roundtrip(tmp_path):
     assert got == fixtures["expect_ids"][0]
     manifest = vw.tensor_manifest(converted)
     assert len(manifest) > 10
+
+
+def test_greedy_token_diff_reports_divergence(tmp_path):
+    """--report's token-diff artifact: multi-step greedy decode with
+    first-divergence position (the single file the parity claim reduces
+    to)."""
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.config import tiny_config
+    from lvv_tpu.models.qwen import QwenModel
+
+    cfg = tiny_config().model.llm
+    model = QwenModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, cfg.hidden_size)))["params"]
+
+    # self-goldens: run the diff against the model's OWN greedy tokens
+    ids = [1, 5, 9]
+    got = []
+    cur = list(ids)
+    for _ in range(4):
+        e = model.apply({"params": params},
+                        jnp.asarray(cur, jnp.int32)[None],
+                        method=QwenModel.embed)
+        nxt = int(np.argmax(np.asarray(
+            model.apply({"params": params}, e)[0, -1])))
+        got.append(nxt)
+        cur.append(nxt)
+
+    d = vw.greedy_token_diff(model, params,
+                             {"prompt_ids": ids, "expect_ids": got})
+    assert d["match"] and d["first_divergence"] is None
+    assert d["matched_prefix_len"] == 4
+
+    # perturb one golden -> divergence position reported
+    bad = list(got)
+    bad[2] = (bad[2] + 1) % cfg.vocab_size
+    d2 = vw.greedy_token_diff(model, params,
+                              {"prompt_ids": ids, "expect_ids": bad})
+    assert not d2["match"] and d2["first_divergence"] == 2
+    assert d2["matched_prefix_len"] == 2

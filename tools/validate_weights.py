@@ -77,6 +77,37 @@ def load_hf_state(hf_dir: str) -> dict:
     return tensors
 
 
+def greedy_token_diff(model, params, fixtures: dict) -> dict:
+    """Greedy answer-token parity diff against golden fixtures.
+
+    fixtures: {"prompt_ids": [...], "expect_ids": [t0, t1, ...]} — expect
+    is the reference's greedy continuation. Decodes len(expect_ids)
+    steps (teacher-free: each step feeds the PREDICTED token back) and
+    reports the first divergence position plus the full id diff — the one
+    artifact the north-star parity claim reduces to."""
+    import jax
+    import jax.numpy as jnp
+    from lvv_tpu.models.qwen import QwenModel
+
+    ids = list(fixtures["prompt_ids"])
+    expect = list(fixtures["expect_ids"])
+    got = []
+    for _ in range(len(expect)):
+        arr = jnp.asarray(ids, jnp.int32)[None]
+        emb = model.apply({"params": params}, arr, method=QwenModel.embed)
+        logits = model.apply({"params": params}, emb)
+        nxt = int(np.argmax(np.asarray(logits[0, -1])))
+        got.append(nxt)
+        ids.append(nxt)
+    first_div = next((i for i, (g, e) in enumerate(zip(got, expect))
+                      if g != e), None)
+    return {"expect_ids": expect, "got_ids": got,
+            "match": got == expect,
+            "first_divergence": first_div,
+            "matched_prefix_len": len(expect) if first_div is None
+            else first_div}
+
+
 def validate_sam(sd: dict, out_dir: pathlib.Path) -> None:
     import jax.numpy as jnp
     from lvv_tpu.config import default_config
@@ -114,22 +145,24 @@ def validate_qwen(hf_dir: str, out_dir: pathlib.Path,
     (out_dir / "qwen_manifest.json").write_text(
         json.dumps(tensor_manifest(converted), indent=1))
     print(f"qwen: manifest written ({len(sd)} source tensors)")
+    diffs = []
     if golden:
         fixtures = json.loads(pathlib.Path(golden).read_text())
+        if isinstance(fixtures, dict):
+            fixtures = [fixtures]
         model = QwenModel(cfg)
-        ids = jnp.asarray(fixtures["prompt_ids"], jnp.int32)[None]
         init = model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, 2, cfg.hidden_size)))["params"]
         from lvv_tpu.convert import merge_params
         params = merge_params(init, converted)
-        emb = model.apply({"params": params}, ids,
-                          method=QwenModel.embed)
-        logits = model.apply({"params": params}, emb)
-        got = np.argmax(np.asarray(logits[0, -1]))
-        expect = fixtures["expect_ids"][0]
-        status = "MATCH" if got == expect else "MISMATCH"
-        print(f"qwen golden next-token: got {got} expect {expect} "
-              f"-> {status}")
+        for fx in fixtures:
+            d = greedy_token_diff(model, params, fx)
+            diffs.append(d)
+            status = "MATCH" if d["match"] else (
+                f"MISMATCH at step {d['first_divergence']}")
+            print(f"qwen golden greedy ({len(d['expect_ids'])} tokens): "
+                  f"{status}")
+    return diffs
 
 
 def main() -> None:
@@ -140,14 +173,19 @@ def main() -> None:
     ap.add_argument("--hf-dir")
     ap.add_argument("--golden")
     ap.add_argument("--out-dir", default="weights_validation")
+    ap.add_argument("--report", action="store_true",
+                    help="emit ONE report.json artifact: per-tensor "
+                         "checksums + greedy answer-token diff — the "
+                         "single file the parity claim reduces to")
     args = ap.parse_args()
     out_dir = pathlib.Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    diffs = []
     if args.component == "sam":
         validate_sam(load_torch_state(args.torch_ckpt), out_dir)
     elif args.component == "qwen":
-        validate_qwen(args.hf_dir, out_dir, args.golden)
+        diffs = validate_qwen(args.hf_dir, out_dir, args.golden)
     elif args.component == "clip":
         from lvv_tpu.convert.clip_torch import convert_clip_state
         sd = load_torch_state(args.torch_ckpt) if args.torch_ckpt else \
@@ -164,6 +202,22 @@ def main() -> None:
         (out_dir / "swin_manifest.json").write_text(
             json.dumps(tensor_manifest(converted), indent=1))
         print("swin: manifest written")
+
+    if args.report:
+        manifests = {p.stem.replace("_manifest", ""):
+                     json.loads(p.read_text())
+                     for p in out_dir.glob("*_manifest.json")}
+        report = {
+            "component": args.component,
+            "source": args.torch_ckpt or args.hf_dir,
+            "tensors": manifests,
+            "token_diffs": diffs,
+            "parity": (all(d["match"] for d in diffs)
+                       if diffs else None),
+        }
+        (out_dir / "report.json").write_text(json.dumps(report, indent=1))
+        print(f"report: {out_dir / 'report.json'} "
+              f"(parity={report['parity']})")
 
 
 if __name__ == "__main__":
