@@ -39,14 +39,26 @@ from ..ops.sparse import (SENTINEL, SparseTensor, bev_collapse,
 from ..ops.voxelize import VoxelGrid, voxelize_mean
 
 
-# Audited per-stage active-voxel capacities for the product config
+# MEASURED per-stage active-voxel capacities for the product config
 # (nuScenes 0.075 m voxels over +-54 m, MAX_NUMBER_OF_VOXELS 160k at test —
-# cbgs_voxel0075_voxelnext.yaml:6,61): real active counts roughly halve per
-# downsample because point clouds are surfaces, so the legacy 3/4 shrink
-# over-allocates the deep stages ~2-4x. Set
-# VoxelNeXtConfig.capacity_schedule to this for the full-scale detector;
-# verify with ops.sparse.set_overflow_debug(True) on real data.
-NUSCENES_CAPACITY_SCHEDULE = (120000, 60000, 30000, 15000, 8000)
+# cbgs_voxel0075_voxelnext.yaml:6,61). The r2 analytic audit ("counts
+# halve per downsample because clouds are surfaces") was WRONG at this
+# voxel resolution: at 0.075 m most occupied voxels hold a single return,
+# so the active set behaves like scatter through the FIRST stride-2 k=3
+# conv and EXPANDS before surface merging wins. Untruncated demand
+# profile measured on a 1/16-area surrogate (radially-concentrated
+# ground/walls/boxes surface cloud + adversarial i.i.d.-uniform cloud,
+# benchmarks/capacity_stress.py + tests/test_sparse.py stress case),
+# relative to the stage-0 voxelizer capacity:
+#   surface: [2.11, 1.30, 0.41, 0.12, 0.026]
+#   uniform: [3.21, 3.21, 0.80, 0.16, 0.029]  (worst case; truncates)
+# Schedule = surface profile + headroom on 160k (stage 1 carries 2.75x —
+# cross-seed surface variability measured up to 2.49x). Adversarial
+# uniform clouds still truncate at stages 1-2 — inherent to any fixed
+# schedule (ratio 3.2x means memory would have to grow through the
+# trunk); truncation is graceful (lowest-id sites kept) and telemetered
+# (ops.sparse.set_overflow_debug / overflow_log).
+NUSCENES_CAPACITY_SCHEDULE = (440000, 240000, 96000, 32000, 12000)
 
 
 class SparseConvLayer(nn.Module):
