@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""VQA trainer soak: the ASSEMBLED training loop on real TPU hardware.
+
+Unit tests cover each trainer piece in isolation (tests/test_train_loop.py);
+this harness exercises the whole product loop in one place, the way a user
+runs it (reference workflow: src/encoder-decoder/train.py):
+
+  1. fabricates a synthetic nuScenes-caption/grounding dataset on disk
+     (BEV feature .npy per sample + caption/grounding JSONs; camera views
+     absent -> the loader marks them invalid and the model zero-fills,
+     exercising the failure-recovery path at the same time)
+  2. launches `tools/train_vqa.py` as a subprocess on the FULL flagship
+     config (SAM-B/CLIP-L/Qwen-0.5B, bf16) for 2 epochs with step
+     checkpoints + pruning + val + inference sampling + TensorBoard events
+  3. SIGTERMs it mid-epoch-1 after the first step checkpoint, relaunches
+     the same command, and asserts auto-resume continues from the saved
+     step (mid-epoch skip) to completion
+  4. records steps/s and the artifact listing to benchmarks/train_soak.json
+
+Run on the TPU host: python benchmarks/train_soak.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).parent.parent
+OUT = pathlib.Path(__file__).parent / "train_soak.json"
+N_SAMPLES = 40
+EPOCHS = 2
+BATCH = 4
+
+
+def fabricate(root: pathlib.Path, cfg_path: pathlib.Path):
+    from lvv_tpu.config import default_config, override, save
+
+    cfg = default_config()
+    bev_dir = root / "bev"
+    bev_dir.mkdir(parents=True, exist_ok=True)
+    c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
+    rng = np.random.default_rng(0)
+    cap, grd = [], []
+    for i in range(N_SAMPLES):
+        tok = f"tok{i:03d}"
+        np.save(bev_dir / f"{tok}.npy",
+                rng.normal(size=(c, h, w)).astype(np.float16))
+        cap.append({"sample_token": tok,
+                    "question": f"What is happening in scene {i}?",
+                    "answer": f"Vehicle {i} is moving through the "
+                              f"intersection near marker {i % 7}."})
+        grd.append({"sample_token": tok, "question": "Where is the car?",
+                    "answer_lidar": "[1, 2, 0, 4, 2, 1.5, 0.1]",
+                    "template_type": "det_area"})
+    (root / "cap.json").write_text(json.dumps(cap))
+    (root / "grd.json").write_text(json.dumps(grd))
+
+    for k, v in {
+        "data.bev_features_dir": str(bev_dir),
+        "data.caption_json": str(root / "cap.json"),
+        "data.grounding_json": str(root / "grd.json"),
+        "data.val_fraction": 0.15,
+        "train.epochs": EPOCHS,
+        "train.batch_size": BATCH,
+        "train.max_prompt_tokens": 32,
+        "train.max_answer_tokens": 24,
+        "train.save_every_steps": 5,
+        "train.keep_last_ckpts": 2,
+        "train.log_every": 2,
+        "train.inference_samples": 2,
+        "train.output_dir": str(root / "run"),
+    }.items():
+        cfg = override(cfg, k, v)
+    save(cfg, cfg_path)
+    return cfg
+
+
+def launch(cfg_path):
+    return subprocess.Popen(
+        [sys.executable, str(REPO / "tools" / "train_vqa.py"),
+         "--config", str(cfg_path)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+
+
+def main():
+    sys.path.insert(0, str(REPO))
+    root = pathlib.Path(os.environ.get("LVV_SOAK_DIR", "/tmp/lvv_soak"))
+    cfg_path = root / "soak_config.json"
+    root.mkdir(parents=True, exist_ok=True)
+    fabricate(root, cfg_path)
+    run_dir = root / "run"
+
+    results = {"n_samples": N_SAMPLES, "epochs": EPOCHS, "batch": BATCH}
+
+    # ---- phase 1: run until the first step checkpoint exists, then kill
+    p = launch(cfg_path)
+    ckpt_dir = run_dir / "checkpoints"
+    t0 = time.time()
+    lines = []
+    killed_at = None
+    while p.poll() is None:
+        line = p.stdout.readline()
+        if line:
+            lines.append(line)
+            sys.stdout.write("[1] " + line)
+        steps = sorted(int(d.name.split("_")[-1])
+                       for d in ckpt_dir.glob("step_*")) \
+            if ckpt_dir.exists() else []
+        if steps and steps[-1] >= 5 and killed_at is None:
+            killed_at = steps[-1]
+            p.send_signal(signal.SIGTERM)
+            try:
+                p.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                p.kill()
+            break
+        if time.time() - t0 > 3600:
+            p.kill()
+            raise SystemExit("phase 1 timed out (no step ckpt after 1 h)")
+    results["killed_at_step"] = killed_at
+    results["phase1_s"] = round(time.time() - t0, 1)
+
+    # ---- phase 2: same command; auto-resume must pick up the step ckpt
+    t1 = time.time()
+    p = launch(cfg_path)
+    out, _ = p.communicate(timeout=5400)
+    sys.stdout.write(out)
+    results["phase2_s"] = round(time.time() - t1, 1)
+    results["phase2_rc"] = p.returncode
+    resumed = [ln for ln in out.splitlines() if "resum" in ln.lower()]
+    results["resume_lines"] = resumed[:4]
+
+    # ---- steps/s from the trainer's epoch records
+    # ("epoch_seconds": wall for the epoch's step loop)
+    import re
+    recs = [json.loads(m.group(1)) for m in
+            re.finditer(r"\[epoch \d+\] (\{.*\})", out)]
+    if recs:
+        last = recs[-1]
+        steps_per_epoch = max(1, int(N_SAMPLES * 0.85) // BATCH)
+        results["epoch_seconds_last"] = last.get("epoch_seconds")
+        if last.get("epoch_seconds"):
+            results["steps_per_s"] = round(
+                steps_per_epoch / last["epoch_seconds"], 3)
+        results["train_loss_by_epoch"] = [r.get("train_loss") for r in recs]
+        results["val_loss_by_epoch"] = [r.get("val_loss") for r in recs]
+
+    # ---- artifact inventory: ckpts (pruned to keep_last + best), TB
+    # events, inference samples
+    arts = {}
+    if ckpt_dir.exists():
+        arts["checkpoints"] = sorted(d.name for d in ckpt_dir.iterdir())
+    tb = list(run_dir.rglob("events.out.tfevents.*"))
+    arts["tb_event_files"] = [str(f.relative_to(run_dir)) for f in tb]
+    samples = list(run_dir.rglob("*inference*")) + \
+        list(run_dir.rglob("*sample*"))
+    arts["inference_artifacts"] = sorted(
+        str(f.relative_to(run_dir)) for f in samples)[:20]
+    plots = list(run_dir.rglob("*.png")) + list(run_dir.rglob("*.json"))
+    arts["other"] = sorted(str(f.relative_to(run_dir)) for f in plots)[:20]
+    results["artifacts"] = arts
+
+    OUT.write_text(json.dumps(results, indent=1))
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,7 @@ def test_decode_attention_matches_full(key):
                                rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_dispatcher_reference_on_cpu(key):
     q, k, v = _mk(key, 1, 2, 2, 64, 64, 32)
     out = attention(q, k, v, causal=True)  # CPU -> reference path

@@ -40,6 +40,7 @@ def test_half_overlap_analytic():
     assert float(iou_bev(a, b)[0, 0]) == pytest.approx(0.5 / 1.5, abs=1e-5)
 
 
+@pytest.mark.fast
 def test_rotated_45_analytic():
     # unit square vs itself rotated 45 deg about the same center:
     # intersection is a regular octagon, area = 2*(sqrt(2)-1)

@@ -32,6 +32,7 @@ def test_matches_xla(n, c, h, act):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.fast
 def test_h_chunking_matches():
     args = _inputs(256, 256, 1024, seed=3)
     want = ln_mlp_residual(*args, interpret=True)           # one chunk

@@ -15,6 +15,7 @@ def test_match_sample_greedy():
     assert scores[0] == 0.9
 
 
+@pytest.mark.fast
 def test_ap_r40_perfect():
     ap = ap_r40(np.array([0.9, 0.8]), np.array([True, True]), 2)
     assert ap > 0.95

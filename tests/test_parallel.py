@@ -30,6 +30,7 @@ def _tiny_batch(b=4):
         use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
 
 
+@pytest.mark.fast
 def test_mesh_shapes():
     mesh = make_mesh(MeshConfig(data=-1, model=2))
     assert mesh.shape == {"data": 4, "model": 2}

@@ -7,6 +7,7 @@ import pytest
 from lvv_tpu.ops.quant import quantize_weight, quantized_matmul
 
 
+@pytest.mark.fast
 def test_quantize_roundtrip_error_bounded(rng):
     w = jnp.asarray(rng.normal(size=(256, 384)), jnp.float32)
     q, s = quantize_weight(w)

@@ -3,6 +3,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from lvv_tpu.models.roi_head import (RoIHead, canonical_decode,
                                      canonical_encode, proposal_targets,
                                      refine_boxes, roi_head_loss)
@@ -22,6 +24,7 @@ def test_canonical_roundtrip(rng):
                                rtol=1e-3)
 
 
+@pytest.mark.fast
 def test_proposal_targets():
     rois = jnp.asarray([[0, 0, 0, 4, 2, 1.5, 0.0],
                         [10, 10, 0, 4, 2, 1.5, 0.0]], jnp.float32)

@@ -47,6 +47,7 @@ def setup():
     return cfg, model, params, reqs
 
 
+@pytest.mark.fast
 def test_bucket_schedule():
     assert _buckets_up_to(8) == [1, 2, 4, 8]
     assert _buckets_up_to(6) == [1, 2, 4, 6]

@@ -42,6 +42,7 @@ def _torch_conv3d(dense_cin, weight_k, stride, padding):
     return out[0].numpy()  # [Cout, nz', ny', nx']
 
 
+@pytest.mark.fast
 def test_submanifold_matches_dense_on_active_sites(rng):
     grid = (6, 5, 4)  # nx, ny, nz
     st, coords, feats = _random_sparse(rng, grid, n_active=20, cin=3)

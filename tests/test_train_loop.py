@@ -66,6 +66,7 @@ def test_trainer_one_epoch(synth_data):
     assert tr2.start_step == result["steps"]
 
 
+@pytest.mark.fast
 def test_checkpoint_roundtrip_and_prune(tmp_path):
     mgr = CheckpointManager(tmp_path / "ck", keep_last=2)
     state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}

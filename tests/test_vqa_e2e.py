@@ -48,6 +48,7 @@ def test_param_tree_structure(setup):
             "llm"} <= top
 
 
+@pytest.mark.fast
 def test_forward_loss_finite(setup):
     cfg, model, params, batch = setup
     loss, logits, count = model.apply({"params": params}, batch)
