@@ -101,7 +101,12 @@ def main():
             .astype(jnp.float32))), params, x)
 
     for b in (int(x) for x in os.environ.get("LVV_BS", "1,8").split(",")):
-        row = {}
+        # resumable: stages already recorded for this batch are skipped
+        # (LVV_FRESH=1 re-measures everything) — compiles through the axon
+        # remote-compile relay are slow enough that one cold run can't
+        # always finish a full sweep inside a wall-clock budget
+        row = {} if os.environ.get("LVV_FRESH") else dict(
+            results.get(str(b), {}))
         bev = jnp.asarray(rng.normal(size=(b, c, h, w)).astype(np.float32))
         images = jnp.asarray(
             rng.uniform(-1, 1, (b, 6, 3, s, s)).astype(np.float32))
@@ -110,18 +115,19 @@ def main():
         plen = jnp.full((b,), t, jnp.int32)
 
         # --- encode_prefix: images+bev -> [B, P, D] prefix
+        skip = lambda key: key in row and not os.environ.get("LVV_FRESH")
         k_enc = max(4, 32 // b)
         f_enc = lambda p, im: model.apply(
             {"params": p}, bev, im, vv,
             method=_VQA.encode_prefix)
-        fl = floor_for(k_enc, images)
-        secs = timed(loop(f_enc, k_enc), params, images)
-        row["encode_prefix_ms"] = round((secs - fl) / k_enc * 1e3, 2)
-        print(f"B={b} encode_prefix: {row['encode_prefix_ms']} ms",
-              flush=True)
+        if not skip("encode_prefix_ms"):
+            fl = floor_for(k_enc, images)
+            secs = timed(loop(f_enc, k_enc), params, images)
+            row["encode_prefix_ms"] = round((secs - fl) / k_enc * 1e3, 2)
+            print(f"B={b} encode_prefix: {row['encode_prefix_ms']} ms",
+                  flush=True)
 
-        prefix = jax.device_put(model.apply(
-            {"params": params}, bev, images, vv, method=_VQA.encode_prefix))
+        prefix = jax.device_put(jax.jit(f_enc)(params, images))
 
         # --- prefill_from_prefix (cache build)
         plen_tokens = prefix.shape[1] + t + NEW_TOKENS + 8
@@ -133,15 +139,14 @@ def main():
                 {"params": p}, px, prompt, plen, cache,
                 method=_VQA.prefill_from_prefix)
             return logits, cache2
-        flp = floor_for(k_pre, prefix)
-        secs = timed(loop(f_pre, k_pre), params, prefix)
-        row["prefill_ms"] = round((secs - flp) / k_pre * 1e3, 2)
-        print(f"B={b} prefill: {row['prefill_ms']} ms", flush=True)
+        if not skip("prefill_ms"):
+            flp = floor_for(k_pre, prefix)
+            secs = timed(loop(f_pre, k_pre), params, prefix)
+            row["prefill_ms"] = round((secs - flp) / k_pre * 1e3, 2)
+            print(f"B={b} prefill: {row['prefill_ms']} ms", flush=True)
 
         # --- decode: 32 scan steps from a built cache
-        logits, cache_full = model.apply(
-            {"params": params}, prefix, prompt, plen, cache,
-            method=_VQA.prefill_from_prefix)
+        logits, cache_full = jax.jit(f_pre)(params, prefix)
         tok0 = jnp.argmax(logits, -1).astype(jnp.int32)
 
         k_dec = 4
@@ -155,9 +160,20 @@ def main():
                                    length=NEW_TOKENS)
             return tk2
         fld = floor_for(k_dec, tok0)
-        secs = timed(loop(f_dec, k_dec), params, tok0)
-        row["decode32_ms"] = round((secs - fld) / k_dec * 1e3, 2)
-        print(f"B={b} decode32: {row['decode32_ms']} ms", flush=True)
+        if not skip("decode32_ms"):
+            secs = timed(loop(f_dec, k_dec), params, tok0)
+            row["decode32_ms"] = round((secs - fld) / k_dec * 1e3, 2)
+            print(f"B={b} decode32: {row['decode32_ms']} ms", flush=True)
+
+        # --- decode with weight-only int8 LLM (prepare_serving_params):
+        # same scan, quantized tree — the serving decode A/B
+        from lvv_tpu.models.vqa import prepare_serving_params
+        params_q = prepare_serving_params(
+            jax.tree_util.tree_map(lambda v: v, params))
+        secs = timed(loop(f_dec, k_dec), params_q, tok0)
+        row["decode32_q8_ms"] = round((secs - fld) / k_dec * 1e3, 2)
+        print(f"B={b} decode32_q8: {row['decode32_q8_ms']} ms", flush=True)
+        del params_q
 
         row["per_frame_ms"] = round(
             (row["encode_prefix_ms"] + row["prefill_ms"] +

@@ -28,6 +28,7 @@ def main():
     from jax import lax
 
     from lvv_tpu.ops.attention import (window_attention_fused,
+                                       window_attention_fused2,
                                        window_attention_packed)
 
     rng = np.random.default_rng(0)
@@ -78,7 +79,13 @@ def main():
             return h + jnp.concatenate([o, o, o], -1) * jnp.bfloat16(1e-3)
         return f
 
+    def run_fused2(h):
+        o = window_attention_fused2(h, rel_h, rel_w, scale=scale,
+                                    heads=HEADS, win=WIN)
+        return h + jnp.concatenate([o, o, o], -1) * jnp.bfloat16(1e-3)
+
     rec("packed", timed(loop(run_packed), qkv))
+    rec("fused2", timed(loop(run_fused2), qkv))
     for wc in (1, 5):
         rec(f"fused_wc{wc}", timed(loop(run_fused(wc)), qkv))
 

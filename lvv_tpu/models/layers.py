@@ -93,13 +93,16 @@ class Dense(nn.Module):
                                           else bias.astype(self.dtype))
         if quantized:
             # {"q": int8 [K, N], "s": f32 [N]} from ops.quant.
-            # quantize_llm_params: the dequantizing pallas matmul streams
-            # int8 from HBM — decode is weight-bandwidth-bound
-            from ..ops.quant import quantized_matmul
-            lead = x.shape[:-1]
-            y = quantized_matmul(
-                x.reshape(-1, x.shape[-1]).astype(self.dtype),
-                kernel["q"], kernel["s"]).reshape(*lead, self.features)
+            # quantize_llm_params. The dequant (convert + scale) fuses
+            # into the XLA dot's operand read, so the matvec streams int8
+            # bytes at full HBM rate: 0.81 ms/token whole-stack vs 1.49
+            # bf16 and 1.94 via the pallas qmv kernel
+            # (benchmarks/decode_stream_micro.json) — decode is
+            # weight-bandwidth-bound, and XLA's own fusion beats a
+            # hand-rolled kernel here.
+            y = x.astype(self.dtype) @ (
+                kernel["q"].astype(self.dtype)
+                * kernel["s"][None].astype(self.dtype))
         else:
             y = x @ kernel.astype(self.dtype)
         if bias is not None:

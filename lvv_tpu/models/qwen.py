@@ -197,12 +197,15 @@ class QwenModel(nn.Module):
             if self.has_variable("params", "unembed_q"):
                 # weight-only int8 serving copy of the tied table (added by
                 # ops.quant.quantize_llm_params): streams [V, H] int8 with
-                # per-row scales, no transpose in HBM — the decode unembed
-                # alone reads 272 MB/step in bf16
-                from ..ops.quant import quantized_matmul_nk
+                # per-row scales — the decode unembed alone reads 272 MB/
+                # step in bf16. Dequant rides INSIDE the XLA dot (convert +
+                # scale fuse into the operand read): 0.81 vs 1.49 ms/token
+                # whole-stack, while the pallas qmv path measured 1.94
+                # (benchmarks/decode_stream_micro.json)
                 uq = self.get_variable("params", "unembed_q")
-                return quantized_matmul_nk(hidden.astype(self.dtype),
-                                           uq["q"], uq["s"])
+                w = (uq["q"].astype(self.dtype)
+                     * uq["s"][:, None].astype(self.dtype))
+                return hidden.astype(self.dtype) @ w.T
             table = self.embed_tokens.embedding
             return hidden @ table.T.astype(self.dtype)
         return self.lm_head(hidden)

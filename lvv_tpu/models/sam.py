@@ -156,6 +156,30 @@ class SAMAttention(nn.Module):
                 interpret=fused_mlp._FORCE_INTERPRET)
             out = self._dense("proj", c, out)
             return out.reshape(b, h, w, c)
+        if (self.use_rel_pos and h * w > 512 and (h * w) % 1024 == 0
+                and head_dim + h <= 128 and w <= 128
+                and _relpos_kernel_ok(h, w, head_dim)):
+            # global layers: head-packed kernel straight off the qkv Dense
+            # output — no head split/merge transposes, q·R einsums stay
+            # token-major, bias_h inside the score matmul (ops/attention.py
+            # flash_attention_relpos_hpacked; replaces ~1.6 ms/layer of XLA
+            # glue, benchmarks/stage_bisect.json gattn_glue)
+            import math as _math
+            from ..ops.attention import flash_attention_relpos_hpacked
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.input_size[0] - 1, head_dim))
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.input_size[1] - 1, head_dim))
+            rh = resize_rel_pos(rel_h.astype(qkv.dtype), h, h)
+            rw = resize_rel_pos(rel_w.astype(qkv.dtype), w, w)
+            out = flash_attention_relpos_hpacked(
+                qkv, rh, rw, scale=1.0 / _math.sqrt(head_dim),
+                grid_w=w, heads=self.num_heads,
+                block_q=min(h * w, 4096), block_k=1024,
+                quant8=self.quant8 and "attn" in _q8_scope(),
+                interpret=fused_mlp._FORCE_INTERPRET)
+            out = self._dense("proj", c, out)
+            return out.reshape(b, h, w, c)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         if self.use_rel_pos:

@@ -679,6 +679,169 @@ def flash_attention_relpos_fused(q, k, v, q_rh, q_rw, *, scale: float,
     )(q_aug, k_aug, v, qrw, sv)
 
 
+def _flash_hpacked_kernel(q_ref, k_ref, v_ref, qrw_ref, sv_ref, o_ref,
+                          acc_ref, m_ref, l_ref, *, w: int, quant8: bool):
+    """Head-packed twin of `_flash_relpos_fused_kernel`: operands arrive in
+    [B, S, H*128] layout (each head's lane-block = [payload | augmentation])
+    so the head axis is addressed by the BlockSpec index_map instead of an
+    HBM transpose. Same math: augmented-contraction scores (bias_h inside
+    the matmul), lane-tiled bias_w add, base-2 online softmax."""
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+    ki = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qrw = qrw_ref[0][:, :w].astype(jnp.float32)       # [bq, W] (lane pad cut)
+    s = s + jnp.concatenate([qrw] * (bk // w), axis=1)
+
+    m_prev = m_ref[:, 0]
+    l_prev = l_ref[:, 0]
+    smax = jnp.max(s, axis=-1)
+    m_new = jnp.maximum(m_prev, smax)
+    p = jnp.exp2(s - m_new[:, None])
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+    if quant8:
+        sp = jnp.maximum(jnp.exp2(smax - m_new), 1e-30)
+        p8 = jnp.round(p * (127.0 / sp)[:, None]).astype(jnp.int8)
+        z = jax.lax.dot_general(p8, vb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sv = sv_ref[...].reshape(1, z.shape[-1]).astype(jnp.float32)
+        pv = (z.astype(jnp.float32) * (sp * (1.0 / 127.0))[:, None]) * sv
+    else:
+        pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
+    m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, 0], 1e-30)
+        o_ref[0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "grid_w", "heads",
+                                             "block_q", "block_k", "quant8",
+                                             "interpret"))
+def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
+                                   grid_w: int, heads: int,
+                                   block_q: int = 4096, block_k: int = 1024,
+                                   quant8: bool = False,
+                                   interpret: bool = False):
+    """Global SAM attention straight from the packed qkv Dense output —
+    the head axis never transposes in HBM.
+
+    qkv [B, S, 3C] (C = heads*d, S = grid_h*grid_w, row-major tokens);
+    rel_h [grid_h, grid_h, d] / rel_w [grid_w, grid_w, d] are the resized
+    decomposed tables (resize_rel_pos, reference sam_vary_sdpa.py:240-296).
+    Returns [B, S, C] (pre-projection).
+
+    Layout: each head packs to a 128-lane block — q side
+    [q*scale*log2e | q·Rh*log2e], k side [k | onehot(kh)], v side [v | 0] —
+    so the BlockSpec index_map addresses head h at lane offset h*128 and
+    the augmented contraction (depth d+grid_h = 128) computes q·k + bias_h
+    in ONE MXU pass, exactly like `flash_attention_relpos_fused`. Replaces
+    that path's XLA glue (q/k/v head split/merge transposes + f32 q·R
+    einsum materialization + aug concats: ~1.6 ms/layer on v5e,
+    benchmarks/stage_bisect.json gattn_glue)."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    gh = s // grid_w
+    assert d + gh <= _LANE and grid_w <= _LANE, (d, gh, grid_w)
+    assert s % block_q == 0 and s % block_k == 0 and block_k % grid_w == 0
+    f32 = jnp.float32
+    cd = qkv.dtype
+    qr = qkv[..., :c].reshape(b, s, heads, d)
+    kr = qkv[..., c:2 * c].reshape(b, s, heads, d)
+    vr = qkv[..., 2 * c:].reshape(b, s, heads, d)
+    # q·R einsums on the token-major layout (no head transpose); bf16 out
+    q5 = qr.reshape(b, gh, grid_w, heads, d)
+    q_rh = jnp.einsum("bGwnc,Gkc->bGwnk", q5, rel_h.astype(cd),
+                      preferred_element_type=f32).reshape(b, s, heads, gh)
+    q_rw = jnp.einsum("bGwnc,wkc->bGwnk", q5, rel_w.astype(cd),
+                      preferred_element_type=f32).reshape(b, s, heads,
+                                                          grid_w)
+    pad_h = _LANE - d - gh
+    q_aug = jnp.concatenate(
+        [qr.astype(f32) * (scale * _LOG2E), q_rh * _LOG2E] +
+        ([jnp.zeros((b, s, heads, pad_h), f32)] if pad_h else []),
+        axis=-1).astype(cd).reshape(b, s, heads * _LANE)
+    kh_onehot = (jnp.arange(gh)[None, :]
+                 == (jnp.arange(s) // grid_w)[:, None]).astype(cd)
+    k_aug = jnp.concatenate(
+        [kr, jnp.broadcast_to(kh_onehot[None, :, None, :],
+                              (b, s, heads, gh))] +
+        ([jnp.zeros((b, s, heads, pad_h), cd)] if pad_h else []),
+        axis=-1).reshape(b, s, heads * _LANE)
+    v_pad = jnp.concatenate(
+        [vr, jnp.zeros((b, s, heads, _LANE - d), cd)],
+        axis=-1).reshape(b, s, heads * _LANE)
+    qrw_pad = jnp.concatenate(
+        [(q_rw * _LOG2E).astype(cd),
+         jnp.zeros((b, s, heads, _LANE - grid_w), cd)],
+        axis=-1).reshape(b, s, heads * _LANE)
+    if quant8:
+        sv = jnp.maximum(jnp.max(jnp.abs(vr.astype(f32)), axis=1) / 127.0,
+                         1e-8)                        # [b, heads, d]
+        v_pad = jnp.clip(
+            jnp.round(v_pad.astype(f32)
+                      / jnp.pad(sv, ((0, 0), (0, 0), (0, _LANE - d)),
+                                constant_values=1.0
+                                ).reshape(b, 1, heads * _LANE)),
+            -127, 127).astype(jnp.int8)
+        sv_in = jnp.pad(sv, ((0, 0), (0, 0), (0, _LANE - d))
+                        ).reshape(b, 1, heads * _LANE)
+    else:
+        sv_in = jnp.ones((b, 1, heads * _LANE), f32)
+
+    kernel = functools.partial(_flash_hpacked_kernel, w=grid_w,
+                               quant8=quant8)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, heads, s // block_q, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, _LANE),
+                         lambda b_, h_, i, j: (b_, i, h_)),
+            pl.BlockSpec((1, block_k, _LANE),
+                         lambda b_, h_, i, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_k, _LANE),
+                         lambda b_, h_, i, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_q, _LANE),
+                         lambda b_, h_, i, j: (b_, i, h_)),
+            pl.BlockSpec((1, 1, _LANE), lambda b_, h_, i, j: (b_, 0, h_)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, _LANE),
+                               lambda b_, h_, i, j: (b_, i, h_)),
+        out_shape=jax.ShapeDtypeStruct((b, s, heads * _LANE), cd),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(q_aug, k_aug, v_pad, qrw_pad, sv_in)
+    # un-pad the per-head lane blocks: [B, S, H, 128][..., :d] -> [B, S, C]
+    return out.reshape(b, s, heads, _LANE)[..., :d].reshape(b, s, c)
+
+
 # ----------------------------------------------------------------------------
 # Packed-qkv window attention (SAM windowed layers).
 # ----------------------------------------------------------------------------
@@ -885,6 +1048,92 @@ def window_attention_fused(qkv, rel_h, rel_w, *, scale: float, heads: int,
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(qkv, q_rh, q_rw, et)
+
+
+def _window_fused2_kernel(qkv_ref, qrhw_ref, et_ref, o_ref, *,
+                          heads: int, scale: float):
+    """One program per window; heads looped; rel-pos bias via a SECOND
+    tiny dot instead of in-kernel operand concats.
+
+    `_window_fused_kernel` folds the bias into ONE augmented dot but pays
+    two lane-axis concatenations per head in VMEM (cross-lane shuffles).
+    Here scores = dot(q*scale, k^T) + dot(qrhw_h, et^T): the first dot's
+    depth-64 contraction pads to the same 128-deep MXU pass either way,
+    and the second dot ([S, 2win] @ [2win, S], contraction 28) is one
+    extra MXU pass with NO vector-unit data motion at all. qrhw_ref
+    [1, heads, S, 2*win] = concat(q·Rh, q·Rw)*log2e built by XLA outside;
+    et_ref [S, 2*win] = concat(onehot(kh), onehot(kw))."""
+    c = qkv_ref.shape[2] // 3
+    hd = c // heads
+    et = et_ref[...]
+    qscale = jnp.float32(scale * _LOG2E)
+    qkv = qkv_ref[0]
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        qs = (q.astype(jnp.float32) * qscale).astype(q.dtype)
+        k = qkv[:, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        logits = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        logits = logits + jax.lax.dot_general(
+            qrhw_ref[0, h], et, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp2(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "win",
+                                             "interpret"))
+def window_attention_fused2(qkv, rel_h, rel_w, *, scale: float, heads: int,
+                            win: int, interpret: bool = False) -> jax.Array:
+    """Window self-attention, rel-pos bias as a second tiny score dot
+    (see `_window_fused2_kernel`). Same contract as
+    `window_attention_packed`: qkv [B, S, 3*C], rel tables [win, win, hd],
+    returns [B, S, C]."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    assert s == win * win, (s, win)
+    f32 = jnp.float32
+    q = qkv[..., :c].reshape(b, win, win, heads, hd)
+    rh = rel_h.astype(f32) * _LOG2E
+    rw = rel_w.astype(f32) * _LOG2E
+    # original SAM adds q·R with UNSCALED q (sam_vary_sdpa.py:373-413)
+    q_rh = jnp.einsum("bxyhd,xkd->bhxyk", q.astype(f32), rh,
+                      preferred_element_type=f32)
+    q_rw = jnp.einsum("bxyhd,ykd->bhxyk", q.astype(f32), rw,
+                      preferred_element_type=f32)
+    qrhw = jnp.concatenate([q_rh.reshape(b, heads, s, win),
+                            q_rw.reshape(b, heads, s, win)],
+                           axis=-1).astype(qkv.dtype)        # [B,H,S,2win]
+
+    kh = jnp.arange(s) // win
+    kw = jnp.arange(s) % win
+    eh = (kh[:, None] == jnp.arange(win)[None, :])
+    ew = (kw[:, None] == jnp.arange(win)[None, :])
+    et = jnp.concatenate([eh, ew], axis=1).astype(qkv.dtype)   # [S, 2*win]
+
+    kernel = functools.partial(_window_fused2_kernel, heads=heads,
+                               scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, heads, s, 2 * win), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((s, 2 * win), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, qrhw, et)
 
 
 def attention(q, k, v, *, causal: bool = False,

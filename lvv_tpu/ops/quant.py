@@ -57,6 +57,24 @@ def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _pick_block(dim: int, target: int) -> int:
+    """Largest multiple-of-128 divisor of `dim` that is <= max(target, 128);
+    0 when none exists (caller must pad).
+
+    Block sizes that do NOT divide the weight dims force a jnp.pad of the
+    whole int8 weight EVERY call — a full HBM copy that costs more than the
+    int8 streaming saves (this, not physics, is why r2 measured weight-only
+    int8 decode as a loss: Qwen dims 896/4864/151936 vs 512/1024/2048
+    blocks). All Qwen-0.5B projection dims are multiples of 128, so a
+    divisor block always exists for the LLM tree."""
+    best = 0
+    top = min(dim, max(target, 128))
+    for b in range(128, top + 1, 128):
+        if dim % b == 0:
+            best = b
+    return best
+
+
 def _qmv_nk_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     """Dequantizing matvec with the weight stored [N, K] (no transpose in
     HBM — the tied-embedding unembed contracts the [V, H] table over H)."""
@@ -112,11 +130,14 @@ def quantized_matmul_nk(x: jax.Array, wq: jax.Array, scale: jax.Array,
                          wq.astype(jnp.float32)) * scale[None, :]
         return out.astype(x.dtype).reshape(*lead, n)
     m_p = max(8, -(-m // 8) * 8)
-    bn = min(block_n, n)
+    bn = _pick_block(n, block_n) or min(block_n, n)
     n_p = -(-n // bn) * bn
     xp = jnp.pad(x2.astype(jnp.bfloat16), ((0, m_p - m), (0, 0)))
-    wp = jnp.pad(wq, ((0, n_p - n), (0, 0)))
-    sp = jnp.pad(scale.astype(jnp.float32), (0, n_p - n))
+    # n_p == n whenever a divisor block exists (always for the Qwen
+    # unembed: 151936 = 1187*128) — no per-call weight copy
+    wp = wq if n_p == n else jnp.pad(wq, ((0, n_p - n), (0, 0)))
+    sp = (scale.astype(jnp.float32) if n_p == n
+          else jnp.pad(scale.astype(jnp.float32), (0, n_p - n)))
     out = _qmv_nk_tpu(xp, wp, sp, block_n=bn,
                       interpret=interpret or _fm._FORCE_INTERPRET)
     return out[:m, :n].astype(x.dtype).reshape(*lead, n)
@@ -298,17 +319,21 @@ def quantized_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
         out = out.astype(x.dtype)
         return out + bias if bias is not None else out
 
-    # pad M to the 8-row sublane, K/N to block multiples
+    # pad M to the 8-row sublane; pick K/N blocks that DIVIDE the weight
+    # dims so the int8 weight itself never pads (a per-call jnp.pad is a
+    # full HBM copy — it made int8 decode a net loss in r2)
     bm = min(block_m, max(8, -(-m // 8) * 8))
     m_p = -(-m // bm) * bm
-    bk = min(block_k, k)
-    bn = min(block_n, n)
+    bk = _pick_block(k, block_k) or min(block_k, k)
+    bn = _pick_block(n, block_n) or min(block_n, n)
     k_p = -(-k // bk) * bk
     n_p = -(-n // bn) * bn
     xp = jnp.pad(x.astype(jnp.bfloat16), ((0, m_p - m), (0, k_p - k)))
-    wp = jnp.pad(w_q, ((0, k_p - k), (0, n_p - n)))
+    wp = (w_q if (k_p, n_p) == (k, n)
+          else jnp.pad(w_q, ((0, k_p - k), (0, n_p - n))))
     # 2-D scale: 1-D operands hit XLA/Mosaic layout-tiling mismatches
-    sp = jnp.pad(scale.astype(jnp.float32), (0, n_p - n))[None]
+    sp = (scale.astype(jnp.float32) if n_p == n
+          else jnp.pad(scale.astype(jnp.float32), (0, n_p - n)))[None]
 
     out = pl.pallas_call(
         functools.partial(_qmv_kernel, out_dtype=x.dtype),

@@ -211,3 +211,63 @@ def test_window_attention_fused_matches_oracle(key, win, heads, hd):
                                  scale=1.0 / math.sqrt(hd), heads=heads,
                                  win=win, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("bq,bk", [(1024, 256), (512, 512)])
+def test_relpos_hpacked_matches_bias_oracle(key, bq, bk):
+    """flash_attention_relpos_hpacked (head-packed lane-block layout,
+    q·R einsums computed inside the wrapper from raw packed qkv) vs the
+    materialized-bias oracle."""
+    from lvv_tpu.ops.attention import flash_attention_relpos_hpacked
+    b, heads, gh, gw, d = 1, 2, 8, 128, 64
+    s = gh * gw
+    c = heads * d
+    ks = jax.random.split(key, 3)
+    qkv = jax.random.normal(ks[0], (b, s, 3 * c)) * 0.5
+    rel_h = jax.random.normal(ks[1], (gh, gh, d)) * 0.1
+    rel_w = jax.random.normal(ks[2], (gw, gw, d)) * 0.1
+
+    qr = np.asarray(qkv[..., :c].reshape(b, s, heads, d).transpose(0, 2, 1, 3))
+    kr = np.asarray(
+        qkv[..., c:2 * c].reshape(b, s, heads, d).transpose(0, 2, 1, 3))
+    vr = np.asarray(
+        qkv[..., 2 * c:].reshape(b, s, heads, d).transpose(0, 2, 1, 3))
+    rh = np.asarray(rel_h)
+    rw = np.asarray(rel_w)
+    bias = np.zeros((b, heads, s, s), np.float32)
+    for t in range(s):
+        qh, qw = t // gw, t % gw
+        # bias[t, j] = q[t]·rh[qh, kh(j)] + q[t]·rw[qw, kw(j)]
+        brh = qr[:, :, t] @ rh[qh].T          # [b, h, gh]
+        brw = qr[:, :, t] @ rw[qw].T          # [b, h, gw]
+        for j in range(s):
+            bias[:, :, t, j] = brh[..., j // gw] + brw[..., j % gw]
+    ref = attention_reference(jnp.asarray(qr), jnp.asarray(kr),
+                              jnp.asarray(vr), bias=jnp.asarray(bias),
+                              scale=1.0 / math.sqrt(d))
+    ref_m = np.asarray(ref).transpose(0, 2, 1, 3).reshape(b, s, c)
+    out = flash_attention_relpos_hpacked(
+        qkv, rel_h, rel_w, scale=1.0 / math.sqrt(d), grid_w=gw,
+        heads=heads, block_q=bq, block_k=bk, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref_m, atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("win,heads,hd", [(4, 2, 32), (7, 3, 64)])
+def test_window_attention_fused2_matches_packed(key, win, heads, hd):
+    """window_attention_fused2 (bias via a second dot against the one-hot
+    table) vs window_attention_packed on the same packed qkv."""
+    from lvv_tpu.ops.attention import (window_attention_fused2,
+                                       window_attention_packed)
+    s = win * win
+    c = heads * hd
+    qkv = jax.random.normal(key, (3, s, 3 * c)) * 0.5
+    ks = jax.random.split(key, 2)
+    rel_h = jax.random.normal(ks[0], (win, win, hd)) * 0.2
+    rel_w = jax.random.normal(ks[1], (win, win, hd)) * 0.2
+    scale = 1.0 / math.sqrt(hd)
+    a = window_attention_packed(qkv, rel_h, rel_w, scale=scale,
+                                heads=heads, win=win, interpret=True)
+    b = window_attention_fused2(qkv, rel_h, rel_w, scale=scale,
+                                heads=heads, win=win, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=3e-5, rtol=3e-5)
