@@ -186,7 +186,8 @@ def main():
             from lvv_tpu.inference.continuous import ContinuousServingEngine
             eng = ContinuousServingEngine(
                 m, params, slots=b, chunk_steps=8,
-                max_new_tokens=NEW_TOKENS, eos_id=-1)
+                max_new_tokens=NEW_TOKENS, eos_id=-1,
+                params_decode=globals().get("_pq"))
             try:
                 # warm EVERY admission bucket (1/2/4/...): refills after
                 # early finishes land on the intermediate sizes, and a cold
