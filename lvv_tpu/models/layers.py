@@ -100,9 +100,13 @@ class Dense(nn.Module):
             # (benchmarks/decode_stream_micro.json) — decode is
             # weight-bandwidth-bound, and XLA's own fusion beats a
             # hand-rolled kernel here.
-            y = x.astype(self.dtype) @ (
-                kernel["q"].astype(self.dtype)
-                * kernel["s"][None].astype(self.dtype))
+            # Scale applied OUTPUT-side so the f32 per-column scales are
+            # never rounded into the weights (the weight-side form
+            # double-rounded every element through self.dtype, ~0.4% extra
+            # relative error), and the [M, N] multiply is far cheaper than
+            # a [K, N] one.
+            y = ((x.astype(self.dtype) @ kernel["q"].astype(self.dtype))
+                 * kernel["s"]).astype(self.dtype)
         else:
             y = x @ kernel.astype(self.dtype)
         if bias is not None:

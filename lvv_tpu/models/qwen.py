@@ -203,9 +203,14 @@ class QwenModel(nn.Module):
                 # whole-stack, while the pallas qmv path measured 1.94
                 # (benchmarks/decode_stream_micro.json)
                 uq = self.get_variable("params", "unembed_q")
-                w = (uq["q"].astype(self.dtype)
-                     * uq["s"][:, None].astype(self.dtype))
-                return hidden.astype(self.dtype) @ w.T
+                # Scale OUTPUT-side: one [B, V] multiply with f32-exact
+                # per-row scales; the int8 table feeds the dot directly so
+                # no dequantized [V, H] bf16 copy can materialize (the
+                # weight-side form risked a ~272 MB intermediate if XLA
+                # failed to fuse the broadcast into the operand read).
+                # Matches the variant decode_stream_micro.py benchmarked.
+                logits = hidden.astype(self.dtype) @ uq["q"].T.astype(self.dtype)
+                return logits * uq["s"]
             table = self.embed_tokens.embedding
             return hidden @ table.T.astype(self.dtype)
         return self.lm_head(hidden)

@@ -158,6 +158,12 @@ class SAMAttention(nn.Module):
             return out.reshape(b, h, w, c)
         if (self.use_rel_pos and h * w > 512 and (h * w) % 1024 == 0
                 and head_dim + h <= 128 and w <= 128
+                # kernel divisibility (flash_attention_relpos_hpacked
+                # asserts s % block_q == 0, block_k % grid_w == 0 for
+                # block_q=min(s,4096), block_k=1024): ineligible shapes
+                # (e.g. h=40, w=128) fall through to the XLA-glue path
+                # instead of dying at trace time
+                and (h * w) % min(h * w, 4096) == 0 and 1024 % w == 0
                 and _relpos_kernel_ok(h, w, head_dim)):
             # global layers: head-packed kernel straight off the qkv Dense
             # output — no head split/merge transposes, q·R einsums stay
