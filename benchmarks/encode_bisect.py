@@ -53,8 +53,7 @@ def main():
         sam=dataclasses.replace(cfg.model.sam, quant8=True),
         clip=dataclasses.replace(cfg.model.clip, quant8=True))
     rng = np.random.default_rng(0)
-    enc = build_deepencoder(dataclasses.replace(cfg, model=mcfg),
-                            dtype=jnp.bfloat16)
+    enc = build_deepencoder(mcfg, dtype=jnp.bfloat16)
     imgs = jnp.asarray(rng.normal(size=(1, 6, 3, 1024, 1024)) * 0.5,
                        jnp.bfloat16)
     params = jax.jit(lambda i: enc.init(jax.random.PRNGKey(0), i[0][:1]))(

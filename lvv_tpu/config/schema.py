@@ -96,7 +96,8 @@ class VATLiDARConfig:
     dropout: float = 0.0
     num_views: int = 6           # polar sector count (vat_lidar.py:159-183)
     dw_kernel: int = 3           # depthwise refine kernel (vat_lidar.py:82-85)
-    pe_hidden: int = 128         # geometric PE MLP width (vat_lidar.py:93-97)
+    pe_hidden: int = 0           # geometric PE MLP width; <=0 = d_model,
+                                 # the reference width (vat_lidar.py:93-97)
 
 
 @config

@@ -42,8 +42,15 @@ def count_converted_leaves(tree) -> int:
     return n
 
 
+from .clip_torch import convert_clip_state, from_transformers_clip  # noqa: E402
 from .sam_torch import convert_sam_state, from_transformers_sam  # noqa: E402
 from .swin_torch import convert_swin_state  # noqa: E402
+from .vat_torch import (convert_projector_state,  # noqa: E402
+                        convert_vat_lidar_state, convert_vat_vision_state,
+                        convert_vision_adapter_state)
 
 __all__ = ["merge_params", "count_converted_leaves", "convert_sam_state",
-           "from_transformers_sam"]
+           "from_transformers_sam", "convert_clip_state",
+           "from_transformers_clip", "convert_swin_state",
+           "convert_vat_lidar_state", "convert_vat_vision_state",
+           "convert_vision_adapter_state", "convert_projector_state"]

@@ -266,13 +266,22 @@ class SAMBlock(nn.Module):
         x = shortcut + y
         hidden = int(x.shape[-1] * self.mlp_ratio)
         ln2 = LayerNorm(eps=1e-6, name="ln2")
-        mlp = MLP(hidden, act=nn.gelu, dtype=self.dtype, name="mlp")
+        # exact erf gelu: the reference trunk (HF Sam / torch nn.GELU) is
+        # erf; flax's default tanh approximation drifts up to ~5e-4 per
+        # activation, visible in answer-token parity
+        import functools as _ft
+        gelu_exact = _ft.partial(nn.gelu, approximate=False)
+        mlp = MLP(hidden, act=gelu_exact, dtype=self.dtype, name="mlp")
         if fused_mlp.kernel_ok(x.shape[-1], hidden):
             # fused LN2+MLP+residual: one HBM round-trip instead of four
             # (the two LayerNorms alone cost ~2 ms/block through XLA on v5e,
             # benchmarks/sam_block_bisect.json)
             ls, lb = ln2(x, return_params=True)
             (w1, b1), (w2, b2) = mlp(x, return_params=True)
+            # NOTE: "gelu" (tanh approx) here, NOT gelu_exact — Mosaic has
+            # no erf/erfc lowering; the ~5e-4 flavor delta is far below the
+            # bf16 rounding this serving path already carries. The unfused
+            # path below uses exact erf for fp32 torch-oracle parity.
             return fused_mlp.ln_mlp_residual(x, ls, lb, w1, b1, w2, b2,
                                              eps=1e-6, act="gelu",
                                              quant8=self.quant8 and
@@ -347,9 +356,14 @@ class SAMImageEncoder(nn.Module):
         if self.frozen_trunk:
             x = jax.lax.stop_gradient(x)
 
-        # VARY compression head (trainable; reference :171-172 net_2/net_3)
-        x = nn.Conv(self.vary_dims[0], (3, 3), strides=2, padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="net_2")(x)
-        x = nn.Conv(self.vary_dims[1], (3, 3), strides=2, padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="net_3")(x)
+        # VARY compression head (trainable; reference :171-172 net_2/net_3 =
+        # Conv2d(k=3, stride=2, padding=1) — explicit (1,1) padding, NOT
+        # "SAME": at stride 2 flax SAME pads (0,1) which shifts the sampling
+        # grid one pixel vs torch)
+        x = nn.Conv(self.vary_dims[0], (3, 3), strides=2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="net_2")(x)
+        x = nn.Conv(self.vary_dims[1], (3, 3), strides=2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="net_3")(x)
         return jnp.transpose(x, (0, 3, 1, 2))  # NCHW at the boundary

@@ -847,7 +847,8 @@ def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
 # ----------------------------------------------------------------------------
 
 def _window_packed_kernel(qkv_ref, rhf_ref, rwf_ref, eh_ref, ew_ref, o_ref,
-                          *, scale: float, heads: int, win: int):
+                          *, scale: float, heads: int, win: int,
+                          bias_bf16: bool = False, fold_expand: bool = False):
     """One program per window; heads looped; NO head-split transposes.
 
     qkv_ref [1, S, 3*C] is the raw qkv Dense output (S = win*win tokens).
@@ -864,13 +865,14 @@ def _window_packed_kernel(qkv_ref, rhf_ref, rwf_ref, eh_ref, ew_ref, o_ref,
     s = qkv_ref.shape[1]
     c = qkv_ref.shape[2] // 3
     hd = c // heads
+    bdt = qkv_ref.dtype if bias_bf16 else jnp.float32
     rows = jax.lax.broadcasted_iota(jnp.int32, (s, win * hd), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (s, win * hd), 1)
-    mask_h = (cols // hd == rows // win).astype(jnp.float32)
-    mask_w = (cols // hd == rows % win).astype(jnp.float32)
+    mask_h = (cols // hd == rows // win).astype(bdt)
+    mask_w = (cols // hd == rows % win).astype(bdt)
     qkv = qkv_ref[0]
-    rhf = rhf_ref[...].astype(jnp.float32)
-    rwf = rwf_ref[...].astype(jnp.float32)
+    rhf = rhf_ref[...].astype(bdt)
+    rwf = rwf_ref[...].astype(bdt)
     eh = eh_ref[...]
     ew = ew_ref[...]
     for h in range(heads):
@@ -880,18 +882,30 @@ def _window_packed_kernel(qkv_ref, rhf_ref, rwf_ref, eh_ref, ew_ref, o_ref,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        qtile = jnp.concatenate([q.astype(jnp.float32)] * win, axis=1)
-        bias_h = jax.lax.dot_general(
-            qtile * mask_h, rhf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        bias_w = jax.lax.dot_general(
-            qtile * mask_w, rwf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        logits = (logits
-                  + jax.lax.dot_general(bias_h, eh, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                  + jax.lax.dot_general(bias_w, ew, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32))
+        qtile = jnp.concatenate([q.astype(bdt)] * win, axis=1)
+        if fold_expand:
+            # rhf/rwf arrive pre-composed with the one-hot expanders
+            # ([win*hd, S]); the bias lands at [S, S] in one dot per table.
+            logits = logits + jax.lax.dot_general(
+                qtile * mask_h, rhf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = logits + jax.lax.dot_general(
+                qtile * mask_w, rwf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            bias_h = jax.lax.dot_general(
+                qtile * mask_h, rhf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bias_w = jax.lax.dot_general(
+                qtile * mask_w, rwf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = (logits
+                      + jax.lax.dot_general(bias_h, eh,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                      + jax.lax.dot_general(bias_w, ew,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32))
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -901,14 +915,20 @@ def _window_packed_kernel(qkv_ref, rhf_ref, rwf_ref, eh_ref, ew_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "heads", "win",
+                                             "bias_bf16", "fold_expand",
                                              "interpret"))
 def window_attention_packed(qkv, rel_h, rel_w, *, scale: float, heads: int,
-                            win: int, interpret: bool = False) -> jax.Array:
+                            win: int, bias_bf16: bool = False,
+                            fold_expand: bool = False,
+                            interpret: bool = False) -> jax.Array:
     """Window self-attention over packed qkv with decomposed rel-pos bias.
 
     qkv [B, S, 3*C] (S = win*win, token order row-major in the window);
     rel_h/rel_w [win, win, hd] = resize_rel_pos tables indexed
     [q_coord, k_coord, channel]. Returns [B, S, C] (pre-projection).
+    `bias_bf16` runs the mask-select bias pipeline in the input dtype
+    (halves its VPU traffic and doubles its dot throughput); `fold_expand`
+    pre-composes the expanders into the tables so bias lands in one dot.
     """
     b, s, c3 = qkv.shape
     c = c3 // 3
@@ -921,15 +941,20 @@ def window_attention_packed(qkv, rel_h, rel_w, *, scale: float, heads: int,
     kw = jnp.arange(s) % win
     eh = (jnp.arange(win)[:, None] == kh[None, :]).astype(jnp.float32)
     ew = (jnp.arange(win)[:, None] == kw[None, :]).astype(jnp.float32)
+    if fold_expand:
+        rhf = rhf.astype(jnp.float32) @ eh                   # [win*hd, S]
+        rwf = rwf.astype(jnp.float32) @ ew
     kernel = functools.partial(_window_packed_kernel, scale=scale,
-                               heads=heads, win=win)
+                               heads=heads, win=win, bias_bf16=bias_bf16,
+                               fold_expand=fold_expand)
+    rtab_n = s if fold_expand else win
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((win * hd, win), lambda i: (0, 0)),
-            pl.BlockSpec((win * hd, win), lambda i: (0, 0)),
+            pl.BlockSpec((win * hd, rtab_n), lambda i: (0, 0)),
+            pl.BlockSpec((win * hd, rtab_n), lambda i: (0, 0)),
             pl.BlockSpec((win, s), lambda i: (0, 0)),
             pl.BlockSpec((win, s), lambda i: (0, 0)),
         ],
@@ -1134,6 +1159,416 @@ def window_attention_fused2(qkv, rel_h, rel_w, *, scale: float, heads: int,
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(qkv, qrhw, et)
+
+
+# ----------------------------------------------------------------------------
+# Window attention v4: pallas-prepped q·R bias + expander-dot kernel.
+#
+# The cost bisect (winattn_bisect2/3.json) showed: (a) the attention kernel
+# with SUPPLIED bias rows costs only 1.38 ms/layer vs 2.39 for the shipped
+# mask-select kernel, but (b) computing qrh/qrw in XLA costs ~0.9-3.8 ms
+# because every formulation needs 5D transposes or tiny batched matmuls.
+# This variant computes the bias rows in a separate PALLAS kernel whose grid
+# runs over the 14 qh (resp. qw) coordinate values: all rows sharing a
+# coordinate sit in one BlockSpec block ([B, 14, C] slab of the qkv tensor,
+# via a [B, 14, 14, C] view for qw), so each program is ONE
+# [B*14, 768] @ [768, heads*16] matmul against a precomputed
+# kron(I_heads, rel[g]) table — large, MXU-friendly, no transposes anywhere.
+# ----------------------------------------------------------------------------
+
+def _wbias_prep_kernel(q_ref, tab_ref, o_ref):
+    rows = q_ref.shape[0] * q_ref.shape[1] * q_ref.shape[2]
+    q = q_ref[...].reshape(rows, q_ref.shape[3])
+    t = tab_ref[0]
+    o_ref[...] = jax.lax.dot_general(
+        q, t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype).reshape(
+        o_ref.shape)
+
+
+def _window_bias_prep(qkv, rel_h, rel_w, *, heads: int, win: int,
+                      interpret: bool = False):
+    """-> (qrh, qrw) [B, S, heads*16] bf16, pre-scaled by LOG2E.
+
+    Tables: kron(I_heads, rel[g].T) per coordinate g, built once per call in
+    XLA (tiny). qh rows are contiguous 14-blocks of the token axis; qw rows
+    are the stride-14 comb, addressed via a [B, win, win, C] view."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    kp = max(8, -(-win // 8) * 8)
+    cd = qkv.dtype
+    eye = jnp.eye(heads, dtype=jnp.float32)
+    # tab[g, h*hd+d, h*kp+k] = rel[g, k, d] * LOG2E
+    def mk_tab(rel):
+        t = jnp.einsum("ab,gkd->gadbk", eye,
+                       rel.astype(jnp.float32) * _LOG2E)
+        return t.reshape(win, heads * hd, heads * kp).astype(cd)
+
+    th = mk_tab(jnp.pad(rel_h, ((0, 0), (0, kp - win), (0, 0))))
+    tw = mk_tab(jnp.pad(rel_w, ((0, 0), (0, kp - win), (0, 0))))
+    q4 = qkv[..., :c].reshape(b, win, win, c)
+    qrh = pl.pallas_call(
+        _wbias_prep_kernel,
+        grid=(win,),
+        in_specs=[
+            pl.BlockSpec((b, 1, win, c), lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((1, heads * hd, heads * kp), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, 1, win, heads * kp),
+                               lambda g: (0, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, win, win, heads * kp), cd),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(q4, th).reshape(b, s, heads * kp)
+    qrw = pl.pallas_call(
+        _wbias_prep_kernel,
+        grid=(win,),
+        in_specs=[
+            pl.BlockSpec((b, win, 1, c), lambda g: (0, 0, g, 0)),
+            pl.BlockSpec((1, heads * hd, heads * kp), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, win, 1, heads * kp),
+                               lambda g: (0, 0, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, win, win, heads * kp), cd),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(q4, tw).reshape(b, s, heads * kp)
+    return qrh, qrw
+
+
+def _window_v4_kernel(qkv_ref, qrh_ref, qrw_ref, eh_ref, ew_ref, o_ref, *,
+                      heads: int, scale: float, win: int):
+    s = qkv_ref.shape[1]
+    c = qkv_ref.shape[2] // 3
+    hd = c // heads
+    kp = qrh_ref.shape[2] // heads
+    cs = scale * _LOG2E
+    eh = eh_ref[...]
+    ew = ew_ref[...]
+    qkv = qkv_ref[0]
+    qrh = qrh_ref[0]
+    qrw = qrw_ref[0]
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        st = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * cs
+        st = st + jax.lax.dot_general(
+            qrh[:, h * kp:(h + 1) * kp], eh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        st = st + jax.lax.dot_general(
+            qrw[:, h * kp:(h + 1) * kp], ew, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.max(st, axis=-1, keepdims=True)
+        p = jnp.exp2(st - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "win",
+                                             "interpret"))
+def window_attention_v4(qkv, rel_h, rel_w, *, scale: float, heads: int,
+                        win: int, interpret: bool = False) -> jax.Array:
+    """Window self-attention with pallas-prepped q·R bias (see above).
+
+    qkv [B, S, 3*C]; rel_h/rel_w [win, win, hd]. Returns [B, S, C]."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    assert s == win * win, (s, win)
+    cd = qkv.dtype
+    kp = max(8, -(-win // 8) * 8)
+    qrh, qrw = _window_bias_prep(qkv, rel_h, rel_w, heads=heads, win=win,
+                                 interpret=interpret)
+    kh = jnp.arange(s) // win
+    kw = jnp.arange(s) % win
+    eh = (jnp.arange(kp)[:, None] == kh[None, :]).astype(cd)
+    ew = (jnp.arange(kp)[:, None] == kw[None, :]).astype(cd)
+    kernel = functools.partial(_window_v4_kernel, scale=scale, heads=heads,
+                               win=win)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, heads * kp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, heads * kp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((kp, s), lambda i: (0, 0)),
+            pl.BlockSpec((kp, s), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, qrh, qrw, eh, ew)
+
+
+# ----------------------------------------------------------------------------
+# Phase-separated window attention (SAM windowed layers, v2).
+#
+# The packed kernel (`window_attention_packed`) interleaves a VPU softmax
+# between every head's MXU dots: per window program the dependency chain
+# dot -> bias dots -> softmax -> dot repeats 12 times, so the MXU idles
+# through every softmax and the 1800 window-head iterations serialize
+# (~1.3 us each; BASELINE.md round-3 A/B). This variant splits the program
+# into three phases over a [G*heads, S, S] VMEM scratch:
+#   1. ALL score matmuls (+ bias expander dots) — independent MXU work that
+#      pipelines back-to-back;
+#   2. ONE exp2 softmax pass over the whole scratch — one long VPU stretch;
+#   3. ALL pv matmuls.
+# The q·R bias rows are precomputed by XLA as tiny batched einsums over the
+# gathered tables (qrh/qrw [B, heads, S, 16], ~12 MB) instead of the
+# in-kernel mask-select matmuls, removing 4 of the 6 per-head dots.
+# `gwin` folds G windows into one program to amortize program overhead.
+# Reference behavior: window partition + decomposed rel-pos of
+# sam_vary_sdpa.py:240-296 (same math as window_attention_packed).
+# ----------------------------------------------------------------------------
+
+def _window_phased_kernel(qkv_ref, qrh_ref, qrw_ref, eh_ref, ew_ref, o_ref,
+                          s_scr, *, heads: int, scale: float, batched: bool):
+    g = qkv_ref.shape[0]
+    s = qkv_ref.shape[1]
+    c = qkv_ref.shape[2] // 3
+    hd = c // heads
+    cs = scale * _LOG2E
+    eh = eh_ref[...]
+    ew = ew_ref[...]
+    # Phase 1: scores + bias for every (window, head) into scratch.
+    for gi in range(g):
+        qkv = qkv_ref[gi]
+        if batched:
+            q3 = qkv[:, :c].reshape(s, heads, hd)
+            k3 = qkv[:, c:2 * c].reshape(s, heads, hd)
+            st = jax.lax.dot_general(
+                q3, k3, (((2,), (2,)), ((1,), (1,))),
+                preferred_element_type=jnp.float32)          # [heads, s, s]
+            bias = jax.lax.dot_general(
+                qrh_ref[gi].reshape(heads * s, eh.shape[0]), eh,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bias = bias + jax.lax.dot_general(
+                qrw_ref[gi].reshape(heads * s, ew.shape[0]), ew,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_scr[gi * heads:(gi + 1) * heads] = (
+                st * cs + bias.reshape(heads, s, s))
+        else:
+            for h in range(heads):
+                q = qkv[:, h * hd:(h + 1) * hd]
+                k = qkv[:, c + h * hd:c + (h + 1) * hd]
+                st = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                bias = jax.lax.dot_general(
+                    qrh_ref[gi, h], eh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                bias = bias + jax.lax.dot_general(
+                    qrw_ref[gi, h], ew, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s_scr[gi * heads + h] = st * cs + bias
+    # Phase 2: one softmax pass over the whole scratch (base-2; the LOG2E
+    # factor rode in via cs and the pre-scaled qrh/qrw).
+    sall = s_scr[...]
+    m = jnp.max(sall, axis=-1, keepdims=True)
+    p = jnp.exp2(sall - m)
+    s_scr[...] = p / jnp.sum(p, axis=-1, keepdims=True)
+    # Phase 3: pv matmuls.
+    for gi in range(g):
+        qkv = qkv_ref[gi]
+        if batched:
+            v3 = qkv[:, 2 * c:].reshape(s, heads, hd)
+            pv = jax.lax.dot_general(
+                s_scr[gi * heads:(gi + 1) * heads].astype(qkv.dtype),
+                v3, (((2,), (1,)), ((0,), (1,))),
+                preferred_element_type=jnp.float32)          # [heads, s, hd]
+            for h in range(heads):
+                o_ref[gi, :, h * hd:(h + 1) * hd] = pv[h].astype(o_ref.dtype)
+        else:
+            for h in range(heads):
+                v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+                p_h = s_scr[gi * heads + h].astype(v.dtype)
+                o_ref[gi, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+                    p_h, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "win", "gwin",
+                                             "batched", "interpret"))
+def window_attention_phased(qkv, rel_h, rel_w, *, scale: float, heads: int,
+                            win: int, gwin: int = 1, batched: bool = False,
+                            interpret: bool = False) -> jax.Array:
+    """Window self-attention over packed qkv, phase-separated (see above).
+
+    qkv [B, S, 3*C] (S = win*win, row-major window tokens); rel_h/rel_w
+    [win, win, hd] resized decomposed tables. Returns [B, S, C].
+    """
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    assert s == win * win, (s, win)
+    assert b % gwin == 0, (b, gwin)
+    cd = qkv.dtype
+    kpad = max(8, -(-win // 8) * 8)
+    q4 = qkv[..., :c].reshape(b, s, heads, hd)
+    # gathered tables: row t -> rel_h[t//win] / rel_w[t%win]
+    rh_g = jnp.repeat(rel_h.astype(cd), win, axis=0)         # [S, win, hd]
+    rw_g = jnp.tile(rel_w.astype(cd), (win, 1, 1))
+    qrh = jnp.einsum("bshd,skd->bhsk", q4, rh_g,
+                     preferred_element_type=jnp.float32) * _LOG2E
+    qrw = jnp.einsum("bshd,skd->bhsk", q4, rw_g,
+                     preferred_element_type=jnp.float32) * _LOG2E
+    qrh = jnp.pad(qrh, ((0, 0), (0, 0), (0, 0), (0, kpad - win))).astype(cd)
+    qrw = jnp.pad(qrw, ((0, 0), (0, 0), (0, 0), (0, kpad - win))).astype(cd)
+    kh = jnp.arange(s) // win
+    kw = jnp.arange(s) % win
+    eh = (jnp.arange(kpad)[:, None] == kh[None, :]).astype(cd)  # [kpad, S]
+    ew = (jnp.arange(kpad)[:, None] == kw[None, :]).astype(cd)
+    kernel = functools.partial(_window_phased_kernel, scale=scale,
+                               heads=heads, batched=batched)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // gwin,),
+        in_specs=[
+            pl.BlockSpec((gwin, s, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gwin, heads, s, kpad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gwin, heads, s, kpad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((kpad, s), lambda i: (0, 0)),
+            pl.BlockSpec((kpad, s), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((gwin, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((gwin * heads, s, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, qrh, qrw, eh, ew)
+
+
+# ----------------------------------------------------------------------------
+# Window attention v3 (SAM windowed layers): precomputed q·R bias rows.
+#
+# Kernel cost bisect (benchmarks/winattn_bisect2.json, v5e): the 12 QK dots
+# alone cost 0.844 ms/layer, +pv 0.884, +softmax 1.072 — but the shipped
+# packed kernel's in-kernel mask-select bias construction (qtile concat + 2
+# mask muls + 4 dots per head) brings it to 2.39 ms. Here the bias rows
+# qrh/qrw [B, heads, S, win] = q·rel_h / q·rel_w are precomputed by ONE
+# qh/qw-grouped batched matmul in XLA (rows of a window grouped by their
+# qh/qw coordinate share the rel table row, so batch=win of
+# [B*win*heads, hd] @ [hd, win] — large, MXU-friendly), and the kernel
+# expands them to [S, S] either via two tiny one-hot expander dots
+# ("edot", +0.30 ms measured) or sublane/lane broadcasts ("bcast").
+# Same math as window_attention_packed (reference sam_vary_sdpa.py:240-296).
+# ----------------------------------------------------------------------------
+
+def _window_v3_kernel(qkv_ref, qrh_ref, qrw_ref, eh_ref, ew_ref, o_ref, *,
+                      heads: int, scale: float, win: int, bias_mode: str):
+    s = qkv_ref.shape[1]
+    c = qkv_ref.shape[2] // 3
+    hd = c // heads
+    cs = scale * _LOG2E
+    eh = eh_ref[...]
+    ew = ew_ref[...]
+    qkv = qkv_ref[0]
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        st = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * cs
+        if bias_mode == "edot":
+            bias = jax.lax.dot_general(
+                qrh_ref[0, h], eh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bias = bias + jax.lax.dot_general(
+                qrw_ref[0, h], ew, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            st = st + bias
+        else:  # bcast: expand [S, win] rows across the kw/kh axis
+            qrh = qrh_ref[0, h][:, :win].astype(jnp.float32)
+            qrw = qrw_ref[0, h][:, :win].astype(jnp.float32)
+            st = st + jnp.broadcast_to(
+                qrh[:, :, None], (s, win, win)).reshape(s, s)
+            st = st + jnp.broadcast_to(
+                qrw[:, None, :], (s, win, win)).reshape(s, s)
+        m = jnp.max(st, axis=-1, keepdims=True)
+        p = jnp.exp2(st - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "win",
+                                             "bias_mode", "interpret"))
+def window_attention_v3(qkv, rel_h, rel_w, *, scale: float, heads: int,
+                        win: int, bias_mode: str = "edot",
+                        interpret: bool = False) -> jax.Array:
+    """Window self-attention over packed qkv with precomputed q·R bias.
+
+    qkv [B, S, 3*C] (S = win*win, row-major window tokens); rel_h/rel_w
+    [win, win, hd] resized decomposed tables. Returns [B, S, C].
+    """
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    assert s == win * win, (s, win)
+    cd = qkv.dtype
+    kpad = max(8, -(-win // 8) * 8)
+    # qh-grouped batched matmul: rows with the same qh share rel_h[qh]
+    q5 = qkv[..., :c].reshape(b, win, win, heads, hd)
+    qrh = jax.lax.dot_general(
+        q5.transpose(1, 0, 2, 3, 4).reshape(win, b * win * heads, hd),
+        rel_h.transpose(0, 2, 1).astype(cd),                  # [win, hd, win]
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # [win, bwh, win]
+    qrh = (qrh * _LOG2E).astype(cd).reshape(win, b, win, heads, win)
+    qrh = qrh.transpose(1, 3, 0, 2, 4).reshape(b, heads, s, win)
+    qrw = jax.lax.dot_general(
+        q5.transpose(2, 0, 1, 3, 4).reshape(win, b * win * heads, hd),
+        rel_w.transpose(0, 2, 1).astype(cd),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # [win, bwh, win]
+    qrw = (qrw * _LOG2E).astype(cd).reshape(win, b, win, heads, win)
+    qrw = qrw.transpose(1, 3, 2, 0, 4).reshape(b, heads, s, win)
+    qrh = jnp.pad(qrh, ((0, 0),) * 3 + ((0, kpad - win),))
+    qrw = jnp.pad(qrw, ((0, 0),) * 3 + ((0, kpad - win),))
+    kh = jnp.arange(s) // win
+    kw = jnp.arange(s) % win
+    eh = (jnp.arange(kpad)[:, None] == kh[None, :]).astype(cd)
+    ew = (jnp.arange(kpad)[:, None] == kw[None, :]).astype(cd)
+    kernel = functools.partial(_window_v3_kernel, scale=scale, heads=heads,
+                               win=win, bias_mode=bias_mode)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, heads, s, kpad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, heads, s, kpad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((kpad, s), lambda i: (0, 0)),
+            pl.BlockSpec((kpad, s), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, qrh, qrw, eh, ew)
 
 
 def attention(q, k, v, *, causal: bool = False,

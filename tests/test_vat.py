@@ -30,20 +30,23 @@ def test_vat_lidar_shapes(key, h, w):
 
 
 def test_bev_geometry_sectors():
-    """Six 60-degree polar sectors (reference vat_lidar.py:159-183); the
-    reference test renders these — we assert the math instead."""
+    """Six 60-degree polar sectors with the reference's camera-aligned
+    numbering (vat_lidar.py:127-186: front=0, front_right=1, front_left=2,
+    back=3, back_right=4, back_left=5)."""
     geo, sector = bev_geometry(24, 24)
     assert geo.shape == (576, 5) and sector.shape == (576,)
     assert set(np.unique(sector)) == set(range(NUM_VIEWS))
-    # radius normalized to [0,1]; sin/cos consistent with x,y
+    # radius clamped to [0,1]; sin/cos consistent with x,y
     assert geo[:, 2].max() <= 1.0 + 1e-6
     theta = np.arctan2(geo[:, 1], geo[:, 0])
     np.testing.assert_allclose(np.sin(theta), geo[:, 3], atol=1e-5)
-    # each sector spans a contiguous 60deg angular band
-    for s in range(NUM_VIEWS):
+    pi = np.pi
+    bands = {0: (pi / 3, 2 * pi / 3), 1: (0.0, pi / 3),
+             2: (2 * pi / 3, pi), 3: (-2 * pi / 3, -pi / 3),
+             4: (-pi / 3, 0.0), 5: (-pi, -2 * pi / 3)}
+    for s, (lo, hi) in bands.items():
         th = theta[sector == s]
-        lo, hi = -np.pi + s * np.pi / 3, -np.pi + (s + 1) * np.pi / 3
-        assert ((th >= lo - 1e-5) & (th <= hi + 1e-5)).all()
+        assert ((th >= lo - 1e-5) & (th <= hi + 1e-5)).all(), s
 
 
 def test_vat_lidar_grad_flows(key):
