@@ -188,6 +188,14 @@ class VoxelNeXtConfig:
     dsvt_window: Tuple[int, int, int] = (1, 12, 12)
     dsvt_set_size: int = 36
     dsvt_max_sets: int = 0
+    # multi-stage progressive z-downsampling (reference dsvt_voxel.yaml:
+    # window_shape z 32 -> 8 -> 2 -> 1, downsample_stride [1,1,4]/[1,1,4]/
+    # [1,1,2], attention reduction dsvt.py:292-310). Empty = single stage.
+    # dsvt_stage_windows entries are (z, y, x); dsvt_downsample are the
+    # z strides between consecutive stages.
+    dsvt_stage_blocks: Tuple[int, ...] = ()
+    dsvt_stage_windows: Tuple[Tuple[int, int, int], ...] = ()
+    dsvt_downsample: Tuple[int, ...] = ()
     # learned dynamic VFE before the DSVT trunk (reference DynamicVoxelVFE
     # / DynamicPillarVFE_3d: a 2-layer PFN over absolute-xyz + cluster +
     # center offsets); False falls back to mean-voxelize + in_proj

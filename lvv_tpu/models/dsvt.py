@@ -208,15 +208,99 @@ class DSVTBlock(nn.Module):
         return SparseTensor(st.ids, f, st.grid)
 
 
+class ZPoolAttention(nn.Module):
+    """Attention-based inter-stage z-downsampling (reference
+    Stage_ReductionAtt_Block, pcdet dsvt.py:292-310 + get_pooling_index,
+    dsvt_utils.py:87-127): voxels group by (z // stride, y, x); per group
+    the query is the masked max-pool over the group's voxels, keys are the
+    voxels plus a learned per-slot position embedding, one MHA layer, and
+    the output is LN(attn + query). Emits the pooled sparse tensor on the
+    z-reduced grid."""
+    stride: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        v, c = st.features.shape
+        nx, ny, nz = (int(g) for g in st.grid)
+        coords = delinearize(st.ids, st.grid)             # (z, y, x)
+        zp = coords[:, 0] // self.stride
+        slot = coords[:, 0] % self.stride                 # index in pool
+        nz_out = -(-nz // self.stride)
+        pooled_ids = (zp * ny + coords[:, 1]) * nx + coords[:, 2]
+        pooled_ids = jnp.where(st.valid, pooled_ids, SENTINEL)
+        # each output voxel has >= 1 source, so V rows always suffice;
+        # row v is the dump slot for invalid voxels
+        uniq, inverse, _, _ = unique_with_inverse(pooled_ids, SENTINEL,
+                                                  v + 1)
+        ok = st.valid & (inverse < v)
+        row = jnp.where(ok, inverse, v)
+
+        pre = jnp.zeros((v + 1, self.stride, c), st.features.dtype)
+        pre = pre.at[row, slot].set(
+            jnp.where(ok[:, None], st.features, 0.0))
+        filled = jnp.zeros((v + 1, self.stride), bool).at[row, slot].set(ok)
+
+        # query: masked max-pool over the group (reference MaxPool1d)
+        neg = jnp.asarray(-1e30, pre.dtype)
+        q = jnp.max(jnp.where(filled[..., None], pre, neg), axis=1)
+        q = jnp.where(jnp.any(filled, axis=1)[:, None], q, 0.0)[:, None]
+
+        pos = self.param("pos_embedding", nn.initializers.normal(0.01),
+                         (self.stride, c))
+        key = pre + pos[None].astype(pre.dtype)
+        from .layers import MultiHeadAttention
+
+        # torch F.multi_head_attention with key_padding_mask; kv_len-style
+        # right-pad masking does not apply (holes can be interior), so use
+        # an additive bias on the scores
+        def mha(qx, kx, vx, mask):
+            d = qx.shape[-1]
+            hd = d // self.num_heads
+            qp = Dense(d, name="q_proj")(qx)
+            kp = Dense(d, name="k_proj")(kx)
+            vp = Dense(d, name="v_proj")(vx)
+
+            def split(x):
+                b, s, _ = x.shape
+                return x.reshape(b, s, self.num_heads, hd).transpose(
+                    0, 2, 1, 3)
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(
+                jnp.float32)
+            o = attention(split(qp), split(kp), split(vp), bias=bias)
+            b, h, s, _ = o.shape
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+            return Dense(d, name="o_proj")(o)
+
+        out = mha(q, key, pre, filled)[:, 0]
+        out = nn.LayerNorm(name="norm")(out + q[:, 0])
+
+        # keep the input capacity V (slot v is the dump row; n_out <= V
+        # always since every output voxel has at least one source)
+        uniq = uniq[:v]
+        valid_out = uniq != SENTINEL
+        out = jnp.where(valid_out[:, None], out[:v], 0.0)
+        return SparseTensor(uniq, out, (nx, ny, nz_out))
+
+
 class DSVTBackbone(nn.Module):
-    """Stage of DSVT blocks with alternating window shifts (reference
-    DSVT stage loop; shift_id = block_id % 2)."""
+    """DSVT trunk with alternating window shifts (reference DSVT stage
+    loop; shift_id = block_id % 2) and optional multi-stage progressive
+    z-downsampling (reference dsvt_voxel.yaml: window z 32 -> 8 -> 2 -> 1
+    via downsample_stride [[1,1,4],[1,1,4],[1,1,2]] with attention-based
+    reduction between stages).
+
+    `stage_blocks`/`stage_windows`/`downsample` empty = the single-stage
+    path (the pillar variant, and the pre-round-4 voxel simplification)."""
     channels: int = 64
     num_blocks: int = 4
     num_heads: int = 4
     window: Tuple[int, int, int] = (4, 8, 8)
     set_size: int = 32
     max_sets: int = 0      # 0 -> derived from voxel capacity
+    stage_blocks: Sequence[int] = ()
+    stage_windows: Sequence[Tuple[int, int, int]] = ()
+    downsample: Sequence[int] = ()     # z-stride between stages
 
     @nn.compact
     def __call__(self, st: SparseTensor) -> SparseTensor:
@@ -227,10 +311,24 @@ class DSVTBackbone(nn.Module):
         # ceil(V / set_size) sets (+1 window-straddle slack) always fit
         max_sets = self.max_sets or \
             (-(-st.ids.shape[0] // self.set_size) * 2)
-        for i in range(self.num_blocks):
-            st = DSVTBlock(self.num_heads, self.window,
-                           set_size=self.set_size, max_sets=max_sets,
-                           shift=bool(i % 2), name=f"block_{i}")(st)
+        if not self.stage_blocks:
+            for i in range(self.num_blocks):
+                st = DSVTBlock(self.num_heads, self.window,
+                               set_size=self.set_size, max_sets=max_sets,
+                               shift=bool(i % 2), name=f"block_{i}")(st)
+            return st
+        assert len(self.stage_windows) == len(self.stage_blocks)
+        assert len(self.downsample) == len(self.stage_blocks) - 1
+        for s, (nb, win) in enumerate(zip(self.stage_blocks,
+                                          self.stage_windows)):
+            for i in range(nb):
+                st = DSVTBlock(self.num_heads, tuple(win),
+                               set_size=self.set_size, max_sets=max_sets,
+                               shift=bool(i % 2),
+                               name=f"stage_{s}_block_{i}")(st)
+            if s < len(self.downsample):
+                st = ZPoolAttention(int(self.downsample[s]),
+                                    name=f"stage_{s}_reduction")(st)
         return st
 
 
@@ -278,7 +376,14 @@ class DSVTDetector(nn.Module):
                           window=tuple(cfg.dsvt_window),
                           set_size=cfg.dsvt_set_size,
                           max_sets=cfg.dsvt_max_sets,
+                          stage_blocks=tuple(cfg.dsvt_stage_blocks),
+                          stage_windows=tuple(
+                              tuple(w) for w in cfg.dsvt_stage_windows),
+                          downsample=tuple(cfg.dsvt_downsample),
                           name="backbone3d")(st)
+        # with the progressive stages the final grid is already nz == 1
+        # (reference PointPillarScatter3d consumes the stage-3 coords);
+        # the residual z-fold is the single-stage fallback's collapse
         bev = to_dense(bev_collapse(st))[:, 0]        # [C, ny, nx]
         bev = BaseBEVResBackbone(layer_channels=tuple(cfg.dsvt_bev_channels),
                                  layer_strides=tuple(cfg.dsvt_bev_strides),

@@ -192,3 +192,109 @@ def test_dsvt_detector_forward_detect_and_train():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_zpool_attention_matches_torch_oracle(rng):
+    """ZPoolAttention vs the reference Stage_ReductionAtt_Block semantics
+    (pcdet dsvt.py:292-310): maxpool query, pos-embedded keys, one MHA,
+    LN(attn + query), grouped by (z//stride, y, x)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    from lvv_tpu.models.dsvt import ZPoolAttention
+    from lvv_tpu.ops.sparse import SENTINEL, SparseTensor, delinearize
+
+    nx, ny, nz, c, stride = 4, 3, 8, 16, 4
+    r = np.random.default_rng(0)
+    all_ids = r.permutation(nx * ny * nz)[:20]
+    ids = np.sort(np.concatenate(
+        [all_ids, np.full((6,), int(SENTINEL))]).astype(np.int64))
+    ids = np.asarray(ids, np.int32)
+    feats = r.normal(size=(ids.shape[0], c)).astype(np.float32)
+    feats[ids == int(SENTINEL)] = 0
+    st = SparseTensor(jnp.asarray(ids), jnp.asarray(feats), (nx, ny, nz))
+
+    mod = ZPoolAttention(stride=stride, num_heads=4)
+    params = mod.init(jax.random.PRNGKey(0), st)["params"]
+    out = mod.apply({"params": params}, st)
+    assert out.grid == (nx, ny, nz // stride)
+
+    # torch oracle over the same groups with the converted weights
+    tm = torch.nn.MultiheadAttention(c, 4, batch_first=True)
+    p = params
+    with torch.no_grad():
+        wq = np.asarray(p["q_proj"]["kernel"]).T
+        wk = np.asarray(p["k_proj"]["kernel"]).T
+        wv = np.asarray(p["v_proj"]["kernel"]).T
+        tm.in_proj_weight.copy_(torch.from_numpy(
+            np.concatenate([wq, wk, wv], 0)))
+        tm.in_proj_bias.copy_(torch.from_numpy(np.concatenate(
+            [np.asarray(p[k]["bias"]) for k in
+             ("q_proj", "k_proj", "v_proj")])))
+        tm.out_proj.weight.copy_(torch.from_numpy(
+            np.asarray(p["o_proj"]["kernel"]).T))
+        tm.out_proj.bias.copy_(torch.from_numpy(
+            np.asarray(p["o_proj"]["bias"])))
+    ln_w = torch.from_numpy(np.asarray(p["norm"]["scale"]))
+    ln_b = torch.from_numpy(np.asarray(p["norm"]["bias"]))
+    pos = np.asarray(p["pos_embedding"])
+
+    coords = np.asarray(delinearize(st.ids, st.grid))
+    valid = ids != int(SENTINEL)
+    groups = {}
+    for i in np.nonzero(valid)[0]:
+        z, y, x = coords[i]
+        groups.setdefault((z // stride, y, x), []).append(i)
+    got = np.asarray(out.features)
+    got_ids = np.asarray(out.ids)
+    for (zp, y, x), members in groups.items():
+        lid = (zp * ny + y) * nx + x
+        j = int(np.nonzero(got_ids == lid)[0][0])
+        pre = np.zeros((stride, c), np.float32)
+        mask = np.ones((stride,), bool)
+        for i in members:
+            pre[coords[i][0] % stride] = feats[i]
+            mask[coords[i][0] % stride] = False
+        q = np.where(mask[:, None], -np.inf, pre).max(0, initial=-np.inf)
+        q = np.where(np.isfinite(q), q, 0.0)[None]
+        key = pre + pos
+        with torch.no_grad():
+            o = tm(torch.from_numpy(q[None]),
+                   torch.from_numpy(key[None]),
+                   torch.from_numpy(pre[None]),
+                   key_padding_mask=torch.from_numpy(mask[None]))[0]
+            ref = torch.nn.functional.layer_norm(
+                o[0] + torch.from_numpy(q), (c,), ln_w, ln_b).numpy()[0]
+        np.testing.assert_allclose(got[j], ref, atol=2e-5, rtol=2e-5)
+
+
+def test_dsvt_multistage_progressive_downsample(rng):
+    """Stage topology: windows z 8 -> 2 -> 1 with strides [4, 2] must end
+    on an nz==1 grid with finite grads (reference dsvt_voxel.yaml shape)."""
+    from lvv_tpu.models.dsvt import DSVTBackbone
+    from lvv_tpu.ops.sparse import SENTINEL, SparseTensor
+
+    nx, ny, nz, cin = 8, 8, 8, 6
+    r = np.random.default_rng(1)
+    ids = np.sort(np.concatenate(
+        [r.permutation(nx * ny * nz)[:40],
+         np.full((8,), int(SENTINEL))]).astype(np.int64)).astype(np.int32)
+    feats = r.normal(size=(ids.shape[0], cin)).astype(np.float32)
+    feats[ids == int(SENTINEL)] = 0
+    st = SparseTensor(jnp.asarray(ids), jnp.asarray(feats), (nx, ny, nz))
+
+    bb = DSVTBackbone(channels=16, num_heads=2, set_size=8,
+                      stage_blocks=(1, 1, 1),
+                      stage_windows=((8, 4, 4), (2, 4, 4), (1, 4, 4)),
+                      downsample=(4, 2))
+    params = bb.init(jax.random.PRNGKey(0), st)
+    out = bb.apply(params, st)
+    assert out.grid == (nx, ny, 1)
+    assert np.isfinite(np.asarray(out.features)).all()
+
+    def loss(p):
+        return jnp.sum(bb.apply(p, st).features ** 2)
+
+    g = jax.grad(lambda p: loss(p))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
