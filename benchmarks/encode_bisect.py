@@ -33,7 +33,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 import numpy as np
 
 K_SMALL = 64     # per-block / component reps
-K_BIG = 8        # whole-encoder reps
+K_BIG = 4        # whole-encoder reps
 
 
 def main():
@@ -92,12 +92,6 @@ def main():
     rec("floor_small_ms_rep", floor_small / K_SMALL * 1e3)
     rec("floor_big_ms_rep", floor_big / K_BIG * 1e3)
 
-    # --- whole encoder -------------------------------------------------
-    fullsec = timed(loop(lambda h: (
-        lambda t: h + 1e-8 * t.astype(jnp.float32).mean().astype(h.dtype))(
-        enc.apply(params, h, method="encode_views")), K_BIG), imgs)
-    rec("deepencoder_full", (fullsec - floor_big) / K_BIG * 1e3)
-
     # --- SAM alone ------------------------------------------------------
     sam_mod = SAMImageEncoder(dtype=jnp.bfloat16, quant8=True)
     imgs6 = imgs[0]
@@ -122,8 +116,7 @@ def main():
     # --- projector -------------------------------------------------------
     from lvv_tpu.models.projector import MlpProjector
     pcfg = cfg.model.projector
-    proj_mod = MlpProjector(projector_type=pcfg.projector_type,
-                            n_embed=cfg.model.qwen.hidden_size,
+    proj_mod = MlpProjector(kind=pcfg.kind, n_embed=pcfg.n_embed,
                             dtype=jnp.bfloat16)
     fused = jnp.asarray(rng.normal(size=(6, 256, 2048)), jnp.bfloat16)
     pp = proj_mod.init(jax.random.PRNGKey(0), fused[:1])
@@ -183,6 +176,12 @@ def main():
     sec = timed(loop(lambda h: h + 1e-8 * ns.apply(nsp, h).astype(
         jnp.float32).mean().astype(h.dtype), K_SMALL), x6)
     rec("neck_vary", (sec - floor_small) / K_SMALL * 1e3)
+
+    # --- whole encoder -------------------------------------------------
+    fullsec = timed(loop(lambda h: (
+        lambda t: h + 1e-8 * t.astype(jnp.float32).mean().astype(h.dtype))(
+        enc.apply(params, h, method="encode_views")), K_BIG), imgs)
+    rec("deepencoder_full", (fullsec - floor_big) / K_BIG * 1e3)
 
     # --- derived -----------------------------------------------------------
     results["sam_resid"] = round(

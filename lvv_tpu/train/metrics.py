@@ -172,6 +172,66 @@ def spice(candidates, references) -> Optional[float]:
     return float(score)
 
 
+_SPICE_STOP = frozenset(
+    "a an the is are was were be been being of to in on at by with for and "
+    "or as it its this that these those there here from into over under "
+    "near up down out off very so too i you he she we they".split())
+_SPICE_ATTRS = frozenset(
+    "red green blue yellow black white gray grey orange brown large small "
+    "big little tall short long wide narrow fast slow parked moving "
+    "stationary left right front back rear close far distant near new old "
+    "two three four five several many few one".split())
+
+
+def _spice_lite_tuples(text: str):
+    """Approximate scene-graph tuples from one caption: objects (stemmed
+    content unigrams), attribute-object pairs (an attribute lexicon word
+    directly preceding an object), and object-relation-object triples
+    (object, non-object connective word, next object)."""
+    toks = [t for t in "".join(ch.lower() if ch.isalnum() else " "
+                               for ch in text).split() if t]
+
+    def stem(t):
+        return t[:-1] if len(t) > 3 and t.endswith("s") else t
+
+    content = [(i, stem(t)) for i, t in enumerate(toks)
+               if t not in _SPICE_STOP]
+    objs = [(i, t) for i, t in content if t not in _SPICE_ATTRS]
+    tuples = {("o", t) for _, t in objs}
+    for i, t in content:
+        if t in _SPICE_ATTRS and i + 1 < len(toks):
+            nxt = stem(toks[i + 1])
+            if nxt not in _SPICE_STOP and nxt not in _SPICE_ATTRS:
+                tuples.add(("a", t, nxt))
+    for (i1, t1), (i2, t2) in zip(objs, objs[1:]):
+        between = [stem(t) for t in toks[i1 + 1:i2]
+                   if t not in _SPICE_STOP and stem(t) not in _SPICE_ATTRS]
+        if between:
+            tuples.add(("r", t1, between[0], t2))
+    return tuples
+
+
+def spice_lite(candidates, references) -> float:
+    """Pure-python SPICE substitute: the SPICE F-score formula (tuple-set
+    F1, Anderson et al. 2016 eq. 1-3; reference metrics.py:150-219 runs
+    the Java scene-graph version) over heuristically extracted tuples.
+
+    Documented delta vs real SPICE: tuples come from a lexicon/adjacency
+    heuristic instead of a dependency parse, and matching is exact-stem
+    (no WordNet synonym sets). Scores are therefore NOT comparable in
+    absolute value to published SPICE numbers, but rank captions with the
+    same propositional-overlap signal; the dashboard labels this
+    `spice_lite`, never `spice`."""
+    f1s = []
+    for c, r in zip(candidates, references):
+        ct, rt = _spice_lite_tuples(c), _spice_lite_tuples(r)
+        inter = len(ct & rt)
+        p = inter / len(ct) if ct else 0.0
+        rec = inter / len(rt) if rt else 0.0
+        f1s.append(0.0 if p + rec == 0 else 2 * p * rec / (p + rec))
+    return float(np.mean(f1s)) if f1s else 0.0
+
+
 def bertscore(candidates, references,
               model_path: Optional[str] = None) -> Optional[float]:
     """BERTScore F1. Prefers the `bert_score` package (reference
@@ -226,7 +286,11 @@ def bertscore(candidates, references,
 
 def caption_metrics(cands: Sequence[str], refs: Sequence[str]) -> Dict:
     return {"bleu4": bleu4(cands, refs), "cider": cider(cands, refs),
-            "spice": spice(cands, refs), "bertscore": bertscore(cands, refs),
+            "spice": spice(cands, refs),
+            # always-available propositional-overlap proxy (see spice_lite
+            # docstring for the delta vs the Java scorer)
+            "spice_lite": spice_lite(cands, refs),
+            "bertscore": bertscore(cands, refs),
             "n": len(cands)}
 
 
