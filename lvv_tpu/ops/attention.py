@@ -1223,21 +1223,24 @@ def _window_bias_prep(qkv, rel_h, rel_w, *, heads: int, win: int,
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(q4, th).reshape(b, s, heads * kp)
+    # qw grouping: Mosaic needs the sliced dim out of the trailing two, so
+    # ride a cheap XLA transpose (q-part only, ~22 MB at the SAM shape)
+    q4t = q4.transpose(0, 2, 1, 3)                           # [b, qw, qh, c]
     qrw = pl.pallas_call(
         _wbias_prep_kernel,
         grid=(win,),
         in_specs=[
-            pl.BlockSpec((b, win, 1, c), lambda g: (0, 0, g, 0)),
+            pl.BlockSpec((b, 1, win, c), lambda g: (0, g, 0, 0)),
             pl.BlockSpec((1, heads * hd, heads * kp), lambda g: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((b, win, 1, heads * kp),
-                               lambda g: (0, 0, g, 0)),
+        out_specs=pl.BlockSpec((b, 1, win, heads * kp),
+                               lambda g: (0, g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, win, win, heads * kp), cd),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(q4, tw).reshape(b, s, heads * kp)
+    )(q4t, tw).transpose(0, 2, 1, 3).reshape(b, s, heads * kp)
     return qrh, qrw
 
 

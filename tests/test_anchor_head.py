@@ -1,5 +1,6 @@
 """Anchor head family: coder round trip, assignment, loss direction,
 decode."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,7 @@ from lvv_tpu.models.anchor_head import (AnchorHead, ResidualBoxCoder,
                                         generate_anchors)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_coder_roundtrip(rng):
     anchors = jnp.asarray(
         np.stack([rng.uniform(-10, 10, 16), rng.uniform(-10, 10, 16),

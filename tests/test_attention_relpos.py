@@ -12,6 +12,7 @@ from lvv_tpu.ops.attention import attention_reference, flash_attention_relpos
 @pytest.mark.parametrize("gh,gw,d", [(4, 64, 64), (8, 32, 64), (2, 128, 64),
                                      # s=1024 > 512: streaming (non-mh) path
                                      (8, 128, 64)])
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_relpos_flash_matches_bias_oracle(key, gh, gw, d):
     b, h = 1, 2
     s = gh * gw

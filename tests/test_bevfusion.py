@@ -13,6 +13,7 @@ from lvv_tpu.models.depth_lss import project_points_to_depth
 from lvv_tpu.models.registry import build_detector
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_generalized_lss_fpn_shapes():
     fpn = GeneralizedLSSFPN(out_channels=16)
     ins = [jnp.ones((2, 8, 16, 16)), jnp.ones((2, 12, 8, 8)),

@@ -12,6 +12,7 @@ from lvv_tpu.models.caddn import (CaDDNDetector, bin_centers, bin_depths,
 from lvv_tpu.models.registry import build_detector
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_bin_depths_lid_roundtrip():
     centers = bin_centers(num_bins=10, depth_min=2.0, depth_max=20.0)
     idx = bin_depths(jnp.asarray(centers), num_bins=10, depth_min=2.0,

@@ -1,4 +1,5 @@
 """CenterPoint family forward/detect contract."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from lvv_tpu.models.registry import build_detector
 from lvv_tpu.ops.sparse import from_voxels
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_height_compression():
     coords = np.full((4, 3), -1, np.int32)
     coords[0] = [1, 2, 3]   # z=1, y=2, x=3

@@ -42,6 +42,7 @@ def test_clip_matches_transformers(key):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_clip_bypass_shape(key):
     """SAM bypass: [B, H, G, G] patch features -> [B, 1+G*G, H] (reference
     clip_sdpa.py:147-169)."""

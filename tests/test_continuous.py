@@ -138,6 +138,7 @@ def test_streaming_callback(setup):
     assert all(len(c) <= 2 for c in chunks)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_closed_rejects(setup):
     cfg, model, params, reqs = setup
     eng = ContinuousServingEngine(model, params, slots=2, eos_id=2)

@@ -53,6 +53,7 @@ def engine_and_frames(tmp_path_factory):
     eng.close()
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_run_frames_batched(engine_and_frames):
     from demo_vqa import run_frames
 

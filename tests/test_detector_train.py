@@ -39,6 +39,7 @@ def test_detector_train_step_reduces_loss():
     assert losses[-1] < losses[0]  # optimizing the same batch must descend
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_recall_stats():
     gt = np.array([[0, 0, 0, 4, 2, 1.5, 0.0],
                    [10, 10, 0, 4, 2, 1.5, 0.0]], np.float32)

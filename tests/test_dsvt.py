@@ -1,6 +1,7 @@
 """True-DSVT tests: window coords, rotated-set partition contract,
 block/backbone forward (reference dsvt.py get_window_coors /
 get_set_single_shift / DSVTBlock scheduling)."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +40,7 @@ def test_window_coords_grouping_and_shift(rng):
     assert not np.array_equal(np.asarray(wid_s)[valid], wid[valid])
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_rotated_set_partition_contract(rng):
     st = _sparse(rng)
     wid, inner = window_coords(st, (4, 4, 4), shift=False)

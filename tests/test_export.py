@@ -40,6 +40,7 @@ def _inputs(cfg, b, t):
     return bev, images, vv, ids, plen
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_bundle_files(bundle):
     import json
     _, _, out, files, (b, t, new) = bundle

@@ -354,6 +354,7 @@ def test_fullstack_answer_token_parity(oracle_stack):
     np.testing.assert_array_equal(np.asarray(tokens), ref_tokens)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_projector_converter_key_shapes(oracle_stack):
     """The projector converter must produce exactly the flax param names
     (guards the mlp_gelu Sequential-index walk)."""

@@ -42,6 +42,7 @@ def saved_checkpoint(tmp_path_factory):
     return cfg, tmp / "checkpoints", params
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_loader_rebuilds_and_restores(saved_checkpoint):
     cfg, ckpt_dir, orig_params = saved_checkpoint
     loader = ModelLoader(str(ckpt_dir))

@@ -13,6 +13,7 @@ def box7(x, y, z=0.0, dx=4.0, dy=2.0, dz=1.5, yaw=0.0):
     return [x, y, z, dx, dy, dz, yaw]
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_get_ap_voc_envelope():
     # perfect ranking: two TPs -> AP 1
     assert get_ap(np.array([0.5, 1.0]), np.array([1.0, 1.0])) == \

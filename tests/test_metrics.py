@@ -8,6 +8,7 @@ from lvv_tpu.train.metrics import (bleu4, cider, extract_boxes,
                                    metrics_by_template)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_extract_single_box():
     text = "The car is at [1.0, 2.5, -0.3, 4.2, 1.9, 1.6, 0.78]."
     boxes = extract_boxes(text)

@@ -13,6 +13,7 @@ from lvv_tpu.models.mppnet import (MemoryBank, MPPNetE2E, MPPNetHead,
 from lvv_tpu.models.voxelnext import Detections
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_propagate_trajectories_velocity():
     boxes = jnp.zeros((2, 9)).at[0].set(
         jnp.asarray([10.0, 0.0, 0.0, 4, 2, 1.5, 0.3, 2.0, -1.0]))

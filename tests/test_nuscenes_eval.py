@@ -1,5 +1,6 @@
 """nuScenes-style mAP/NDS eval tests (synthetic scenarios with known
 outcomes)."""
+import pytest  # noqa: F401
 import numpy as np
 
 from lvv_tpu.train.nuscenes_eval import (accumulate_class,
@@ -13,6 +14,7 @@ def _sample(boxes, scores=None):
     return out
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_perfect_predictions_ap_one():
     gt = [_sample([[0, 0, 0, 4, 2, 1.5, 0.0, 0, 0],
                    [10, 0, 0, 4, 2, 1.5, 0.0, 0, 0]])]

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_sparse_overflow_report(capfd):
     from lvv_tpu.ops import sparse as S
     coords = np.stack([np.zeros(32, np.int32),

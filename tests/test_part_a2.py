@@ -45,6 +45,7 @@ def test_inverse_conv_restores_active_set():
                                dense_coarse[:, 0, 0, 0], atol=1e-5)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_sparse_unet_decoder_resolution():
     cfg = tiny_config()
     rng = np.random.default_rng(0)

@@ -20,6 +20,7 @@ def cloud():
     return jnp.asarray(pts), jnp.int32(256)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_roi_grid_points_rotated_lattice():
     rois = jnp.asarray([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0]])
     pts = roi_grid_points(rois, grid=2)             # [1, 4, 2]

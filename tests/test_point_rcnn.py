@@ -1,4 +1,5 @@
 """PointRCNN assembly: proposal decode inverse + end-to-end forward."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from lvv_tpu.models.point_rcnn import (PointRCNNDetector,
 from lvv_tpu.models.registry import build_detector
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_proposal_decode_inverts_targets():
     pts = jnp.asarray([[1.0, 2.0, -0.5, 0.9]])
     gt = jnp.asarray([[2.0, 3.0, 0.0, 4.0, 2.0, 1.5, 0.4, 0, 0]],

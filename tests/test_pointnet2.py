@@ -1,4 +1,5 @@
 """PointNet++ backbone tests (fixed-shape SA/FP over the sampling ops)."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ def _cloud(rng, n=256, c=2):
     return jnp.asarray(np.concatenate([xyz, feats], 1))
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_set_abstraction_shapes(rng):
     pts = _cloud(rng)
     sa = SetAbstraction(npoint=32, radius=2.0, nsample=8, mlp=(16, 32))

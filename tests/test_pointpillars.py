@@ -42,6 +42,7 @@ def test_pointpillars_forward_and_detect():
     assert np.isfinite(np.asarray(dets.boxes)).all()
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_bev_res_backbone_shapes(rng):
     from lvv_tpu.models.pointpillars import BaseBEVResBackbone
     x = jnp.asarray(rng.normal(size=(32, 40, 40)), jnp.float32)

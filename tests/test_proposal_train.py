@@ -139,3 +139,22 @@ def test_mppnet_trains():
     assert all(np.isfinite(losses))
     assert float(metrics["grad_norm"]) > 0
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
+def test_proposal_driver_builds_and_steps_cheaply():
+    """Build the cheapest proposal family and take ONE driver step on a
+    tiny batch — subsystem presence in the smoke gate without the full
+    multi-family loss-descent sweep (slow tier)."""
+    cfg = tiny_config()
+    det = build_detector("PointRCNN", cfg.model.voxelnext, cfg.voxelize)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, n=128)
+    params = det.init(jax.random.PRNGKey(0), batch["points"][0],
+                      batch["num_points"][0])
+    tx = optax.sgd(1e-3)
+    step = make_detector_train_step(det, tx, cfg.model.voxelnext,
+                                    cfg.voxelize)
+    state = (params, tx.init(params["params"]))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

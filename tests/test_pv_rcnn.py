@@ -1,4 +1,5 @@
 """PV-RCNN: BEV bilinear sampling, VSA, full two-stage assembly."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,7 @@ from lvv_tpu.config import tiny_config
 from lvv_tpu.models.pv_rcnn import PVRCNNDetector, bev_bilinear
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_bev_bilinear_exact_at_centers():
     bev = jnp.zeros((2, 4, 4)).at[0, 1, 2].set(5.0)
     # grid over [-8, 8] with 4 cells -> 4m cells; cell (y=1, x=2) center at

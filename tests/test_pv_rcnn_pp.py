@@ -11,6 +11,7 @@ from lvv_tpu.models.pv_rcnn_pp import (PVRCNNPlusPlusDetector,
 from lvv_tpu.models.registry import build_detector
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_proposal_centric_mask():
     pts = jnp.asarray([[0.0, 0.0, 0.0, 1.0],
                        [3.0, 0.0, 0.0, 1.0],

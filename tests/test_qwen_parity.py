@@ -115,6 +115,7 @@ def test_extra_token_rows(key):
     assert e["embed_tokens"]["embedding"].shape == (132, 32)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_cross_entropy_masking():
     logits = jnp.zeros((1, 4, 8))
     labels = jnp.asarray([[-100, 2, -100, 3]])

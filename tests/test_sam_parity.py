@@ -85,6 +85,7 @@ def test_sam_matches_transformers_oracle(key):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_window_partition_roundtrip(key):
     x = jax.random.normal(key, (2, 10, 12, 8))
     w, padded = window_partition(x, 4)

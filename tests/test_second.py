@@ -1,4 +1,5 @@
 """SECOND family: forward, anchor-loss wiring, detect."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,7 @@ from lvv_tpu.models.registry import build_detector
 from lvv_tpu.models.second import SECONDDetector
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_second_forward_loss_detect():
     cfg = tiny_config()
     det = build_detector("SECOND", cfg.model.voxelnext, cfg.voxelize)

@@ -13,6 +13,7 @@ from lvv_tpu.models.semseg import (BasicBlock2D, PyramidFeat2D,
                                    project_voxels_to_image)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_resnet_layer1_stride_and_channels():
     m = ResNetFeatures(layers_out=("layer1",))
     x = jnp.zeros((1, 64, 64, 3))

@@ -72,6 +72,7 @@ def _post(url, obj):
         return e.code, json.loads(e.read())
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_healthz(http_server):
     status, body = _get(http_server + "/healthz")
     assert status == 200 and body == {"ok": True}

@@ -13,6 +13,7 @@ from lvv_tpu.models.swin import (SwinBackbone, relative_position_index,
                                  shifted_window_mask)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_relative_position_index_shape():
     idx = relative_position_index(4)
     assert idx.shape == (16, 16)

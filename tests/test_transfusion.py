@@ -1,4 +1,5 @@
 """TransFusion query head: forward, matcher, decode, loss."""
+import pytest  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,7 @@ from lvv_tpu.models.transfusion import (TransFusionHead, decode_queries,
                                         greedy_one_to_one, transfusion_loss)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_greedy_matcher_one_to_one():
     cost = jnp.asarray([[0.1, 5.0], [0.2, 0.05], [9.0, 9.0]])
     gt_of_q, matched = greedy_one_to_one(cost, jnp.asarray([True, True]))

@@ -9,6 +9,7 @@ from lvv_tpu.data.gt_sampler import GTSampler, build_gt_database
 from lvv_tpu.data.tta import double_flip_detect, flip_points, unflip_boxes
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_flip_roundtrip():
     boxes = jnp.asarray([[1.0, 2, 0, 4, 2, 1.5, 0.3, 1.0, -0.5]])
     for fx, fy in [(True, False), (False, True), (True, True)]:

@@ -43,6 +43,7 @@ def test_load_torch_state_unwraps(tmp_path):
     assert set(vw.load_torch_state(str(p))) == {"layer.weight"}
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_qwen_golden_fixture_roundtrip(tmp_path):
     """Build a tiny HF-keyed Qwen state dict, save golden tokens from the
     converted JAX model, and check the harness reports MATCH."""

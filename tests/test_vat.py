@@ -9,6 +9,7 @@ from lvv_tpu.models.vat import (NUM_VIEWS, VATBlock, VATLiDAR, VATVision,
                                 VisionAdapter, bev_geometry)
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_vat_block_shapes(key):
     blk = VATBlock(num_heads=2)
     q = jnp.ones((2, 8, 32))

@@ -22,6 +22,7 @@ def small_sparse():
     return from_voxels(jnp.asarray(coords), jnp.asarray(feats), (4, 4, 1))
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_voxel_query_hits(small_sparse):
     st = small_sparse
     # query at (0,0,0): 3x3x3 neighborhood catches (0,0,0), (0,0,1), (0,1,0)

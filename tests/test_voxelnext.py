@@ -26,6 +26,7 @@ def det():
     return cfg, model, params, points, n
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_forward_bev_contract(det):
     cfg, model, params, points, n = det
     out = model.apply(params, points, n)

@@ -18,6 +18,7 @@ def box7(x, y, z=0.0, dx=4.0, dy=2.0, dz=1.5, yaw=0.0):
 # ------------------------------------------------------------------ Waymo
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_waymo_heading_accuracy():
     assert heading_accuracy(0.0, 0.0) == pytest.approx(1.0)
     assert heading_accuracy(0.0, np.pi) == pytest.approx(0.0)

@@ -112,6 +112,7 @@ def test_voxelnext2d_backbone(rng):
     assert int(np.asarray(out.num_active())) > 0
 
 
+@pytest.mark.fast  # smoke pick: subsystem coverage in the 5-min gate
 def test_focal_sparse_conv_grows_active_set(rng):
     coords = np.full((32, 3), -1, np.int32)
     coords[:4] = [[0, 4, 4], [0, 4, 5], [0, 10, 10], [0, 2, 9]]
