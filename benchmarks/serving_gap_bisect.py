@@ -101,28 +101,46 @@ def main():
 
     rec("split_ms", timed(split))
 
-    # device truth: K reps of the monolith inside ONE jit (greedy_generate
-    # resolves to a cached jit; tracing it inside loop4 inlines the impl)
-    K = 4
+    # decode slope: NEW=1 vs NEW=32 isolates per-step decode cost inside
+    # the monolith; the intercept is encode+prefill+fixed glue
+    def mono_n(n):
+        def f():
+            toks, _ = greedy_generate(model, params, bev, images, vv,
+                                      prompt, plen, max_new_tokens=n,
+                                      eos_id=-1)
+            np.asarray(toks)
+        return f
 
-    def one(bev, images, prompt):
-        toks, _ = greedy_generate(model, params, bev, images, vv, prompt,
-                                  plen, max_new_tokens=NEW, eos_id=-1)
-        return toks
+    m1 = timed(mono_n(1), reps=3)
+    rec("mono_new1_ms", m1)
+    rec("decode_per_step_ms", (results["mono_ms"] - m1) / (NEW - 1))
+    rec("encode_prefill_fixed_ms", m1)
 
-    @jax.jit
-    def loop4(bev, images, prompt):
-        def body(i, acc):
-            toks = one(bev, images, prompt + i)
-            return acc + jnp.sum(toks)
-        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    # encode alone (same program serving's prefix cache uses)
+    def enc_only():
+        np.asarray(enc(params, bev, images, vv))
+    rec("encode_only_ms", timed(enc_only))
 
-    def mono_loop():
-        float(loop4(bev, images, prompt))
+    # pipelined monolith: keep 2 calls in flight (async dispatch hides the
+    # relay roundtrip + host glue; the realistic serving loop shape)
+    def pipelined(depth=2, n=6):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(n):
+            toks, _ = greedy_generate(model, params, bev, images, vv,
+                                      prompt, plen, max_new_tokens=NEW,
+                                      eos_id=-1)
+            outs.append(toks)
+            if len(outs) > depth - 1:
+                np.asarray(outs.pop(0))
+        for o in outs:
+            np.asarray(o)
+        return (time.perf_counter() - t0) / n * 1e3
 
-    sec = timed(mono_loop, reps=3, warm=1)
-    rec("mono_loop_per_call_ms", sec / K)
-    rec("dispatch_ms", results["mono_ms"] - sec / K)
+    pipelined(n=2)   # warm
+    rec("mono_pipelined_ms", float(np.median([pipelined() for _ in
+                                              range(2)])))
+    rec("pipelined_frames_s", B / (results["mono_pipelined_ms"] / 1e3))
     print(json.dumps(results, indent=1))
 
 

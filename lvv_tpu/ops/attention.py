@@ -680,7 +680,8 @@ def flash_attention_relpos_fused(q, k, v, q_rh, q_rw, *, scale: float,
 
 
 def _flash_hpacked_kernel(q_ref, k_ref, v_ref, qrw_ref, sv_ref, o_ref,
-                          acc_ref, m_ref, l_ref, *, w: int, quant8: bool):
+                          acc_ref, m_ref, l_ref, *, w: int, quant8: bool,
+                          qrw_off: int = 0):
     """Head-packed twin of `_flash_relpos_fused_kernel`: operands arrive in
     [B, S, H*128] layout (each head's lane-block = [payload | augmentation])
     so the head axis is addressed by the BlockSpec index_map instead of an
@@ -702,7 +703,8 @@ def _flash_hpacked_kernel(q_ref, k_ref, v_ref, qrw_ref, sv_ref, o_ref,
     vb = v_ref[0]
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    qrw = qrw_ref[0][:, :w].astype(jnp.float32)       # [bq, W] (lane pad cut)
+    qrw = qrw_ref[0][:, qrw_off:qrw_off + w].astype(
+        jnp.float32)                                  # [bq, W] (lane pad cut)
     s = s + jnp.concatenate([qrw] * (bk // w), axis=1)
 
     m_prev = m_ref[:, 0]
@@ -839,6 +841,62 @@ def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
         interpret=interpret,
     )(q_aug, k_aug, v_pad, qrw_pad, sv_in)
     # un-pad the per-head lane blocks: [B, S, H, 128][..., :d] -> [B, S, C]
+    return out.reshape(b, s, heads, _LANE)[..., :d].reshape(b, s, c)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "grid_w", "heads",
+                                             "block_q", "block_k",
+                                             "interpret"))
+def flash_attention_relpos_hpacked_prepped(qkv, rel_h, rel_w, *,
+                                           scale: float, grid_w: int,
+                                           heads: int, block_q: int = 4096,
+                                           block_k: int = 1024,
+                                           interpret: bool = False):
+    """hpacked global attention with the aug-pack built by the pallas prep
+    kernels (hpacked_prep_pallas) instead of XLA concats/einsums. Same
+    math and same flash kernel; v_aug doubles as the qrw source (lanes
+    [hd:hd+grid_w] of the q-row blocks)."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    gh = s // grid_w
+    assert d + gh <= _LANE and grid_w <= _LANE, (d, gh, grid_w)
+    assert s % block_q == 0 and s % block_k == 0 and block_k % grid_w == 0
+    q_aug, k_aug, v_aug = hpacked_prep_pallas(
+        qkv, rel_h, rel_w, heads=heads, grid_w=grid_w, scale=scale,
+        interpret=interpret)
+    cd = qkv.dtype
+    sv_in = jnp.ones((b, 1, heads * _LANE), jnp.float32)
+    kernel = functools.partial(_flash_hpacked_kernel, w=grid_w,
+                               quant8=False, qrw_off=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, heads, s // block_q, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, _LANE),
+                         lambda b_, h_, i, j: (b_, i, h_)),
+            pl.BlockSpec((1, block_k, _LANE),
+                         lambda b_, h_, i, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_k, _LANE),
+                         lambda b_, h_, i, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_q, _LANE),
+                         lambda b_, h_, i, j: (b_, i, h_)),
+            pl.BlockSpec((1, 1, _LANE), lambda b_, h_, i, j: (b_, 0, h_)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, _LANE),
+                               lambda b_, h_, i, j: (b_, i, h_)),
+        out_shape=jax.ShapeDtypeStruct((b, s, heads * _LANE), cd),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(q_aug, k_aug, v_aug, v_aug, sv_in)
     return out.reshape(b, s, heads, _LANE)[..., :d].reshape(b, s, c)
 
 
@@ -1159,6 +1217,151 @@ def window_attention_fused2(qkv, rel_h, rel_w, *, scale: float, heads: int,
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(qkv, qrhw, et)
+
+
+# ----------------------------------------------------------------------------
+# Pallas aug-pack prep for the hpacked global kernel.
+#
+# flash_attention_relpos_hpacked's operands (q_aug/k_aug/v_pad/qrw_pad in
+# [B, S, H*128] head-lane-block layout) were assembled by XLA concats +
+# token-major q·R einsums — ~1.65 ms/layer of pure glue on v5e
+# (benchmarks/stage_bisect.json gattn_glue). These two kernels build them
+# directly:
+# - grid over the 64 qh rows: all tokens sharing qh sit in one contiguous
+#   [B, 1, grid_w, 3C] slab, so q·Rh is ONE [B*grid_w, d] @ kron-table
+#   matmul per program; the same program emits q_aug = [q*scale*log2e |
+#   q·Rh*log2e] and k_aug = [k | onehot(kh)] (onehot is a per-program
+#   constant row).
+# - grid over the 64 qw columns (via a transposed view): emits
+#   v_aug = [v | q·Rw*log2e] — the kv-side PV payload and the q-side bias_w
+#   rows share one tensor; the attention kernel reads it twice (rows j for
+#   v, rows i lanes 64: for qrw).
+# ----------------------------------------------------------------------------
+
+def _gaug_qk_kernel(qkv_ref, th_ref, oh_ref, oq_ref, ok_ref, *, heads: int,
+                    scale: float):
+    b, _, w, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // heads
+    pad = _LANE - hd
+    rows = b * w
+    qkv = qkv_ref[...].reshape(rows, c3)
+    q = qkv[:, :c]
+    qrh = jax.lax.dot_general(
+        q, th_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(oq_ref.dtype)
+    sc = jnp.asarray(scale * _LOG2E, jnp.float32)
+
+    def put(ref, lo, width, val2d):
+        ref[..., lo:lo + width] = val2d.reshape(
+            ref.shape[:-1] + (width,))
+
+    oh = oh_ref[...]                                   # [1, pad] onehot row
+    for h in range(heads):
+        put(oq_ref, h * _LANE,
+            hd, (q[:, h * hd:(h + 1) * hd].astype(jnp.float32) * sc
+                 ).astype(oq_ref.dtype))
+        put(oq_ref, h * _LANE + hd, pad, qrh[:, h * pad:(h + 1) * pad])
+        put(ok_ref, h * _LANE, hd,
+            qkv[:, c + h * hd:c + (h + 1) * hd].astype(ok_ref.dtype))
+        put(ok_ref, h * _LANE + hd, pad,
+            jnp.broadcast_to(oh, (rows, pad)).astype(ok_ref.dtype))
+
+
+def _gaug_v_kernel(qkvt_ref, tw_ref, ov_ref, *, heads: int):
+    b, _, gh, c3 = qkvt_ref.shape
+    c = c3 // 3
+    hd = c // heads
+    pad = _LANE - hd
+    rows = b * gh
+    qkv = qkvt_ref[...].reshape(rows, c3)
+    qrw = jax.lax.dot_general(
+        qkv[:, :c], tw_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(ov_ref.dtype)
+
+    def put(ref, lo, width, val2d):
+        ref[..., lo:lo + width] = val2d.reshape(
+            ref.shape[:-1] + (width,))
+
+    for h in range(heads):
+        put(ov_ref, h * _LANE, hd,
+            qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd].astype(
+                ov_ref.dtype))
+        put(ov_ref, h * _LANE + hd, pad, qrw[:, h * pad:(h + 1) * pad])
+
+
+def _gaug_tables(rel, heads: int, hd: int, pad: int, scale_log2e: float,
+                 dtype):
+    """kron tables [grid, heads*hd, heads*pad]:
+    tab[g, h*hd+d, h*pad+k] = rel[g, k, d] * scale_log2e (k beyond the
+    table width lands in zero columns)."""
+    g, kw, _ = rel.shape
+    eye = jnp.eye(heads, dtype=jnp.float32)
+    relp = jnp.pad(rel.astype(jnp.float32) * scale_log2e,
+                   ((0, 0), (0, pad - kw), (0, 0)))
+    t = jnp.einsum("ab,gkd->gadbk", eye, relp)
+    return t.reshape(g, heads * hd, heads * pad).astype(dtype)
+
+
+def hpacked_prep_pallas(qkv, rel_h, rel_w, *, heads: int, grid_w: int,
+                        scale: float, interpret: bool = False):
+    """-> (q_aug, k_aug, v_aug) in [B, S, H*128] layout for
+    flash_attention_relpos_hpacked, built without XLA glue."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    gh = s // grid_w
+    pad = _LANE - hd
+    assert gh <= pad and grid_w <= pad, (gh, grid_w, pad)
+    cd = qkv.dtype
+    th = _gaug_tables(rel_h, heads, hd, pad, _LOG2E, cd)
+    tw = _gaug_tables(rel_w, heads, hd, pad, _LOG2E, cd)
+    onehot = (jnp.arange(gh)[:, None]
+              == jnp.arange(pad)[None, :]).astype(cd)    # [gh, pad]
+    q4 = qkv.reshape(b, gh, grid_w, c3)
+    kern_qk = functools.partial(_gaug_qk_kernel, heads=heads, scale=scale)
+    q_aug, k_aug = pl.pallas_call(
+        kern_qk,
+        grid=(gh,),
+        in_specs=[
+            pl.BlockSpec((b, 1, grid_w, c3), lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((1, heads * hd, heads * pad), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, pad), lambda g: (g, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1, grid_w, heads * _LANE),
+                         lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((b, 1, grid_w, heads * _LANE),
+                         lambda g: (0, g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, gh, grid_w, heads * _LANE), cd),
+            jax.ShapeDtypeStruct((b, gh, grid_w, heads * _LANE), cd),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(q4, th, onehot)
+    q4t = q4.transpose(0, 2, 1, 3)           # [b, qw, qh, c3]
+    v_aug = pl.pallas_call(
+        functools.partial(_gaug_v_kernel, heads=heads),
+        grid=(grid_w,),
+        in_specs=[
+            pl.BlockSpec((b, 1, gh, c3), lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((1, heads * hd, heads * pad), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, 1, gh, heads * _LANE),
+                               lambda g: (0, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, grid_w, gh, heads * _LANE), cd),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(q4t, tw).transpose(0, 2, 1, 3)
+    hl = heads * _LANE
+    return (q_aug.reshape(b, s, hl), k_aug.reshape(b, s, hl),
+            v_aug.reshape(b, s, hl))
 
 
 # ----------------------------------------------------------------------------
