@@ -34,7 +34,8 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..models import (encode_prefix_fn, generate_from_prefix,
-                      greedy_generate, sample_generate)
+                      greedy_generate, greedy_generate_multi,
+                      sample_generate)
 
 
 @functools.cache
@@ -135,7 +136,7 @@ class ServingEngine:
                  max_new_tokens: int = 32, eos_id: Optional[int] = None,
                  params_decode=None, mesh=None, pipeline_depth: int = 2,
                  sampling: Optional[dict] = None,
-                 prefix_cache_size: int = 0):
+                 prefix_cache_size: int = 0, multi_groups: int = 1):
         if eos_id is None:
             if tokenizer is None:
                 raise ValueError("pass eos_id when no tokenizer is given")
@@ -186,6 +187,15 @@ class ServingEngine:
                                  " greedy path only (for now)")
             from collections import OrderedDict
             self._prefix_cache: "OrderedDict[str, object]" = OrderedDict()
+        # multi_groups > 1: when the queue is >= one full bucket deep at
+        # dispatch time, pack up to this many FULL max_batch buckets into
+        # one resident device program (models.vqa.greedy_generate_multi) —
+        # per-dispatch host/relay overhead (~170 ms/call at B=8 through the
+        # axon relay, benchmarks/serving_gap_bisect.json) amortizes G-fold.
+        # Greedy single-device path only (sampling/prefix/mesh fall back).
+        self.multi_groups = int(multi_groups)
+        if self.multi_groups > 1 and mesh is not None:
+            raise ValueError("multi_groups requires single-device serving")
         self.buckets = _buckets_up_to(self.max_batch, data_par)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -344,10 +354,23 @@ class ServingEngine:
                 if inflight:
                     self._complete(*inflight.pop(0))
                 continue
+            groups = [batch]
+            if (self.multi_groups > 1 and self.sampling is None
+                    and not self.prefix_cache_size
+                    and len(batch) == self.max_batch):
+                # single consumer thread: qsize-then-get cannot race
+                while (len(groups) < self.multi_groups
+                       and self._queue.qsize() >= self.max_batch):
+                    groups.append([self._queue.get_nowait()
+                                   for _ in range(self.max_batch)])
+            flat = [r for g in groups for r in g]
             try:
-                inflight.append((batch, self._dispatch(batch)))
+                if len(groups) == 1:
+                    inflight.append((batch, self._dispatch(batch)))
+                else:
+                    inflight.append((flat, self._dispatch_multi(groups)))
             except Exception as e:  # dispatch/trace errors -> this batch
-                for req in batch:
+                for req in flat:
                     if not req.future.done():
                         _resolve(req.future, exc=e)
 
@@ -412,6 +435,26 @@ class ServingEngine:
                 max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
                 params_decode=self.params_decode)
         return toks, out_lens, bucket
+
+    def _dispatch_multi(self, groups: List[List[_Request]]):
+        """Launch ONE resident program over G full buckets (non-blocking).
+        Results flatten group-major, aligned with the flat request list."""
+        import jax.numpy as jnp
+
+        stacks = [self._sensor_stacks(g) for g in groups]
+        bev = jnp.stack([s[0] for s in stacks])
+        images = jnp.stack([s[1] for s in stacks])
+        valid = jnp.stack([s[2] for s in stacks])
+        ids = self._put(np.stack(
+            [np.stack([r.text_ids for r in g]) for g in groups]))
+        lens = self._put(np.stack(
+            [np.array([r.text_len for r in g], np.int32) for g in groups]))
+        toks, out_lens = greedy_generate_multi(
+            self.model, self.params, bev, images, valid, ids, lens,
+            max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
+            params_decode=self.params_decode)
+        n = sum(len(g) for g in groups)
+        return toks.reshape(n, -1), out_lens.reshape(n), n
 
     def _prefixes_for(self, rows, n_real):
         """[bucket] prefix rows, encoding (and uploading) only cache misses.

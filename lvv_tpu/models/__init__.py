@@ -28,4 +28,5 @@ from .voxelnext import (Detections, VoxelNeXtBackbone, VoxelNeXtDetector,
 from .voxelnext_loss import assign_targets, voxelnext_loss
 from .vqa import (VQABatch, VQAModel, encode_prefix_fn,
                   generate_from_prefix, greedy_generate,
-                  prepare_serving_params, sam_grid_side, sample_generate)
+                  greedy_generate_multi, prepare_serving_params,
+                  sam_grid_side, sample_generate)

@@ -210,7 +210,9 @@ class QwenModel(nn.Module):
                 # failed to fuse the broadcast into the operand read).
                 # Matches the variant decode_stream_micro.py benchmarked.
                 logits = hidden.astype(self.dtype) @ uq["q"].T.astype(self.dtype)
-                return logits * uq["s"]
+                # cast back: the f32 scales would otherwise promote the
+                # decode-scan logits carry to f32 (dtype-mismatch crash)
+                return (logits * uq["s"]).astype(self.dtype)
             table = self.embed_tokens.embedding
             return hidden @ table.T.astype(self.dtype)
         return self.lm_head(hidden)

@@ -192,6 +192,36 @@ class VQAModel(nn.Module):
         return logits[:, -1], cache
 
 
+def _decode_loop(model: "VQAModel", params, params_decode, last_logits,
+                 cache, *, max_new_tokens: int, eos_id: int):
+    """Shared greedy decode scan: (last prefill logits, filled cache) ->
+    (tokens [B, N], lengths [B]).
+
+    `params_decode` may be a different (e.g. weight-only int8) tree: the
+    scan body streams every LLM weight per step while prefill reads each
+    once — the optimal formats differ."""
+    b = last_logits.shape[0]
+    p_dec = params if params_decode is None else params_decode
+
+    def body(state, _):
+        last_logits, cache, done = state
+        nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, nxt)
+        logits, cache = model.apply({"params": p_dec}, nxt, cache,
+                                    method=VQAModel.decode_step)
+        done = done | (nxt == eos_id)
+        return (logits, cache, done), nxt
+
+    (_, _, _), tokens = jax.lax.scan(
+        body, (last_logits, cache, jnp.zeros((b,), bool)), None,
+        length=max_new_tokens)
+    tokens = tokens.T  # [B, N]
+    not_eos = tokens != eos_id
+    lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1),
+                      axis=1)
+    return tokens, lengths
+
+
 @functools.cache
 def _generate_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
                  max_cache: int):
@@ -206,30 +236,69 @@ def _generate_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
         last_logits, cache = model.apply(
             {"params": params}, batch_bev, images, view_valid, prompt_ids,
             prompt_len, cache, method=VQAModel.prefill)
-        # decode may run on a different (e.g. weight-only int8) tree: the
-        # scan body streams every LLM weight per step, prefill reads each
-        # once — the optimal formats differ
-        p_dec = params if params_decode is None else params_decode
-
-        def body(state, _):
-            last_logits, cache, done = state
-            nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(done, eos_id, nxt)
-            logits, cache = model.apply({"params": p_dec}, nxt, cache,
-                                        method=VQAModel.decode_step)
-            done = done | (nxt == eos_id)
-            return (logits, cache, done), nxt
-
-        (_, _, _), tokens = jax.lax.scan(
-            body, (last_logits, cache, jnp.zeros((b,), bool)), None,
-            length=max_new_tokens)
-        tokens = tokens.T  # [B, N]
-        not_eos = tokens != eos_id
-        lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1),
-                          axis=1)
-        return tokens, lengths
+        return _decode_loop(model, params, params_decode, last_logits,
+                            cache, max_new_tokens=max_new_tokens,
+                            eos_id=eos_id)
 
     return jax.jit(impl)
+
+
+@functools.cache
+def _generate_multi_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
+                       max_cache: int):
+    """Jitted multi-batch generate: ONE device program runs G whole
+    (encode + prefill + decode) batches via lax.scan over the leading
+    group axis. Through the axon relay (and on any loaded serving host)
+    each program dispatch carries a fixed host/relay cost (~170 ms at B=8,
+    benchmarks/serving_gap_bisect.json: mono 1153.7 vs device-stage sum
+    982 ms); scanning G batches inside one program amortizes that cost
+    G-fold while the per-group device time is unchanged (the scan body IS
+    the monolithic single-batch program). The reference serves strictly
+    sequentially (inference_engine.py:306-334) — this is the TPU-idiomatic
+    'keep the program resident' counterpart."""
+
+    def impl(params, params_decode, bev, images, view_valid, prompt_ids,
+             prompt_len):
+        # leading dims: bev [G, B, C, H, W], images [G, B, 6, 3, S, S], ...
+        def body(carry, xs):
+            bev_g, img_g, vv_g, ids_g, len_g = xs
+            b = ids_g.shape[0]
+            cache = init_cache(model.cfg.llm, b, max_cache,
+                               dtype=model.dtype)
+            last_logits, cache = model.apply(
+                {"params": params}, bev_g, img_g, vv_g, ids_g, len_g,
+                cache, method=VQAModel.prefill)
+            toks, lens = _decode_loop(
+                model, params, params_decode, last_logits, cache,
+                max_new_tokens=max_new_tokens, eos_id=eos_id)
+            return carry, (toks, lens)
+
+        _, (tokens, lengths) = jax.lax.scan(
+            body, (), (bev, images, view_valid, prompt_ids, prompt_len))
+        return tokens, lengths   # [G, B, N], [G, B]
+
+    return jax.jit(impl)
+
+
+def greedy_generate_multi(model: "VQAModel", params, bev, images,
+                          view_valid, prompt_ids, prompt_len, *,
+                          max_new_tokens: int, eos_id: int,
+                          max_cache: Optional[int] = None,
+                          params_decode=None):
+    """Greedy decode G batches in one resident device program.
+
+    All sensor/text arrays carry a leading group axis G (bev [G, B, ...]);
+    returns (tokens [G, B, N], lengths [G, B]). Token-identical to G
+    separate greedy_generate calls (tested); one compilation per (G, B).
+    Use for throughput serving / offline eval where ~G×B frames are
+    available at once — per-dispatch host+relay overhead amortizes G-fold
+    (benchmarks/serving_bench.py LVV_BENCH_MULTI)."""
+    p_static = _prefix_len(model.cfg)
+    max_cache = max_cache or (p_static + prompt_ids.shape[2]
+                              + max_new_tokens + 8)
+    fn = _generate_multi_fn(model, max_new_tokens, eos_id, max_cache)
+    return fn(params, params_decode, bev, images, view_valid, prompt_ids,
+              prompt_len)
 
 
 @functools.cache
@@ -245,25 +314,9 @@ def _generate_from_prefix_fn(model: "VQAModel", max_new_tokens: int,
         last_logits, cache = model.apply(
             {"params": params}, prefix, prompt_ids, prompt_len, cache,
             method=VQAModel.prefill_from_prefix)
-        p_dec = params if params_decode is None else params_decode
-
-        def body(state, _):
-            last_logits, cache, done = state
-            nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(done, eos_id, nxt)
-            logits, cache = model.apply({"params": p_dec}, nxt, cache,
-                                        method=VQAModel.decode_step)
-            done = done | (nxt == eos_id)
-            return (logits, cache, done), nxt
-
-        (_, _, _), tokens = jax.lax.scan(
-            body, (last_logits, cache, jnp.zeros((b,), bool)), None,
-            length=max_new_tokens)
-        tokens = tokens.T
-        not_eos = tokens != eos_id
-        lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1),
-                          axis=1)
-        return tokens, lengths
+        return _decode_loop(model, params, params_decode, last_logits,
+                            cache, max_new_tokens=max_new_tokens,
+                            eos_id=eos_id)
 
     return jax.jit(impl)
 
@@ -286,24 +339,9 @@ def _pipelined_step_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
         last_logits, cache = model.apply(
             {"params": params}, prefix_prev, prompt_ids, prompt_len, cache,
             method=VQAModel.prefill_from_prefix)
-        p_dec = params if params_decode is None else params_decode
-
-        def body(state, _):
-            last_logits, cache, done = state
-            nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(done, eos_id, nxt)
-            logits, cache = model.apply({"params": p_dec}, nxt, cache,
-                                        method=VQAModel.decode_step)
-            done = done | (nxt == eos_id)
-            return (logits, cache, done), nxt
-
-        (_, _, _), tokens = jax.lax.scan(
-            body, (last_logits, cache, jnp.zeros((b,), bool)), None,
-            length=max_new_tokens)
-        tokens = tokens.T
-        not_eos = tokens != eos_id
-        lengths = jnp.sum(jnp.cumprod(not_eos.astype(jnp.int32), axis=1),
-                          axis=1)
+        tokens, lengths = _decode_loop(
+            model, params, params_decode, last_logits, cache,
+            max_new_tokens=max_new_tokens, eos_id=eos_id)
         prefix_next = model.apply({"params": params}, bev_next, images_next,
                                   view_valid_next,
                                   method=VQAModel.encode_prefix)

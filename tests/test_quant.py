@@ -178,3 +178,33 @@ def test_quantize_llm_params_decode_parity(rng):
     # greedy argmax agreement on most positions
     agree = (ref.argmax(-1) == out.argmax(-1)).mean()
     assert agree >= 0.6
+
+
+@pytest.mark.fast
+def test_bf16_generate_with_int8_decode_tree(rng):
+    """greedy_generate(params_decode=int8 tree) at model dtype bf16 — the
+    exact serving configuration (LVV_BENCH_LLM_INT8=1). Regression: the f32
+    unembed scales used to promote the decode-scan logits carry to f32 and
+    crash the scan with a carry dtype mismatch."""
+    from lvv_tpu import config as C
+    from lvv_tpu.models import (VQABatch, VQAModel, greedy_generate,
+                                prepare_serving_params)
+    cfg = C.tiny_config()
+    model = VQAModel(cfg.model, dtype=jnp.bfloat16)
+    c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
+    s = cfg.model.sam.img_size
+    batch = VQABatch(
+        bev=jnp.zeros((1, c, h, w)), images=jnp.zeros((1, 6, 3, s, s)),
+        view_valid=jnp.ones((1, 6), bool),
+        text_ids=jnp.zeros((1, 8), jnp.int32),
+        text_len=jnp.full((1,), 8, jnp.int32),
+        labels=jnp.full((1, 8), -100, jnp.int32),
+        use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    pq = prepare_serving_params(params)
+    toks, lens = greedy_generate(
+        model, params, batch.bev, batch.images, batch.view_valid,
+        batch.text_ids, batch.text_len, max_new_tokens=4, eos_id=2,
+        params_decode=pq)
+    assert np.asarray(toks).shape == (1, 4)
+    assert 0 <= int(lens[0]) <= 4
