@@ -78,13 +78,22 @@ def main():
     from lvv_tpu.utils import astype_tree
     params = jax.device_put(astype_tree(params, jnp.bfloat16))
     params_decode = None
-    if os.environ.get("LVV_BENCH_LLM_INT8", "0") == "1":
+    if os.environ.get("LVV_BENCH_LLM_INT8", "1") == "1":
         # weight-only int8 LLM for the decode scan only (prefill keeps the
-        # float tree — XLA's fused bf16 chains win there). Measured r2: the
-        # whole-tree swap LOST e2e (5.15 vs 5.73) — decode matvecs sit on a
-        # per-op latency floor, so halved bytes barely pay.
-        from lvv_tpu.models import prepare_serving_params
-        params_decode = jax.device_put(prepare_serving_params(params))
+        # float tree — XLA's fused bf16 chains win there). Default ON since
+        # round 5: with the output-side-scale formulation (015e769) plus the
+        # scan-carry dtype fix, the e2e A/B measures 6.57 vs 5.96 frames/s
+        # (the r2 "int8 decode loses" verdict was the old formulation, and
+        # the post-fix path crashed before it could ever be timed).
+        if os.environ.get("LVV_BENCH_DECODE_FUSED", "0") == "1":
+            # packed-matmul decode engine (models/decode_fused.py):
+            # 4 matmuls/layer instead of 7, token-identical (tested)
+            from lvv_tpu.models import prepare_serving_params_fused
+            params_decode = jax.device_put(
+                prepare_serving_params_fused(model, params))
+        else:
+            from lvv_tpu.models import prepare_serving_params
+            params_decode = jax.device_put(prepare_serving_params(params))
 
     def run():
         toks, lens = greedy_generate(
@@ -106,17 +115,25 @@ def main():
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
 
-    # pipelined throughput: dispatch a stream of frames, fetch once — how
-    # a serving loop actually runs (results stream while the next frame
-    # computes), so the relay roundtrip amortizes over the stream
-    def dispatch():
-        return greedy_generate(model, params, bev, images, view_valid,
-                               prompt, plen, max_new_tokens=NEW_TOKENS,
-                               eos_id=2, params_decode=params_decode)[0]
+    # pipelined throughput: the serving loop runs frames through ONE
+    # resident multi-frame program (greedy_generate_multi scans G frames
+    # per dispatch — the ServingEngine multi_groups mechanism), so the
+    # per-dispatch host+relay cost (~10 ms/frame when dispatching frames
+    # one by one, benchmarks/serving_gap_bisect.json) amortizes G-fold
+    from lvv_tpu.models import greedy_generate_multi
+    g = ITERS
+    stack = lambda x: jnp.stack([x] * g)
+
+    def dispatch_multi():
+        return greedy_generate_multi(
+            model, params, stack(bev), stack(images), stack(view_valid),
+            stack(prompt), stack(plen), max_new_tokens=NEW_TOKENS,
+            eos_id=2, params_decode=params_decode)[0]
+    np.asarray(dispatch_multi())   # warm (compile)
     t0 = time.perf_counter()
-    outs = [dispatch() for _ in range(ITERS)]
+    outs = [dispatch_multi() for _ in range(2)]
     np.asarray(outs[-1])
-    stream = (time.perf_counter() - t0) / ITERS
+    stream = (time.perf_counter() - t0) / (2 * g)
     fps = b / min(stream, p50)
 
     ref_path = pathlib.Path(__file__).parent / "benchmarks" / \

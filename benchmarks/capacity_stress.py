@@ -70,9 +70,22 @@ def uniform_cloud(rng, n: int, pr) -> np.ndarray:
                      rng.uniform(0, 1, n)], 1).astype(np.float32)
 
 
+# 3 precompiled capacity buckets (max_voxels, per-stage schedule) for the
+# bucketed zero-drop mode: typical nuScenes clouds / dense scenes / the
+# i.i.d.-uniform adversarial bound (stage-1 demand ~511k measured). The
+# exact host planner (ops.sparse.plan_capacity_demand) picks per cloud.
+BUCKETS = (
+    (160000, (120000, 60000, 30000, 15000, 8000)),
+    (300000, (330000, 180000, 90000, 45000, 24000)),
+    (310000, (560000, 300000, 160000, 80000, 40000)),
+)
+
+
 def main() -> None:
+    import os
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms",
+                      os.environ.get("LVV_STRESS_PLATFORM", "cpu"))
     import jax.numpy as jnp
     from lvv_tpu.config import VQAConfig, load
     from lvv_tpu.models.registry import build_detector
@@ -102,6 +115,47 @@ def main() -> None:
                          "stages": sp.overflow_log()}
         sp.set_overflow_debug(False)
         print(name, json.dumps(results[name], indent=1), flush=True)
+
+    # ---- bucketed mode: exact host planner routes each cloud to the
+    # smallest of 3 precompiled programs; NO voxel drops anywhere (incl.
+    # the voxelizer) — the reference-parity "never drops" guarantee at
+    # static shapes.
+    import dataclasses
+    from lvv_tpu.ops.sparse import pick_capacity_bucket, \
+        plan_capacity_demand
+    from lvv_tpu.ops.voxelize import VoxelGrid
+    grid = VoxelGrid.create(cfg.voxelize.point_range,
+                            cfg.voxelize.voxel_size)
+    dets = {}
+    for name, pts in [("surface", surface_cloud(rng, n, pr[3] * 0.98)),
+                      ("uniform", uniform_cloud(rng, n, pr))]:
+        t0 = time.time()
+        demands = plan_capacity_demand(pts[:, :3], grid, n_stages=5)
+        t_plan = time.time() - t0
+        bi = pick_capacity_bucket(demands, BUCKETS)
+        max_vox, sched = BUCKETS[bi]
+        if bi not in dets:
+            vcfg = dataclasses.replace(cfg.voxelize, max_voxels=max_vox)
+            dcfg = dataclasses.replace(cfg.model.voxelnext,
+                                       capacity_schedule=sched)
+            dets[bi] = build_detector("VoxelNeXt", dcfg, vcfg)
+        sp.set_overflow_debug(True)
+        sp.reset_overflow_log()
+        t0 = time.time()
+        out = dets[bi].apply(params, jnp.asarray(pts), jnp.int32(n))
+        jax.block_until_ready(out["preds"])
+        log = sp.overflow_log()
+        sp.set_overflow_debug(False)
+        dropped = {k: v for k, v in log.items() if v["dropped"] > 0}
+        results[f"bucketed_{name}"] = {
+            "bucket": bi, "plan_s": round(t_plan, 2),
+            "demands": [demands[0], *demands[1]],
+            "fwd_s": round(time.time() - t0, 1),
+            "dropped": dropped, "zero_drops": not dropped}
+        print(f"bucketed_{name}",
+              json.dumps(results[f"bucketed_{name}"], indent=1),
+              flush=True)
+    results["buckets"] = [[b[0], list(b[1])] for b in BUCKETS]
     (pathlib.Path(__file__).parent / "capacity_stress.json").write_text(
         json.dumps(results, indent=1))
 

@@ -86,9 +86,10 @@ def main():
                 use_vision=jnp.asarray(True), use_lidar=jnp.asarray(True))
             params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
             params = jax.device_put(astype_tree(params, jnp.bfloat16))
-            if os.environ.get("LVV_BENCH_LLM_INT8", "0") == "1":
-                # at larger batches the decode matvecs widen — the regime
-                # where weight-only int8 may start to pay (it loses at B=1)
+            if os.environ.get("LVV_BENCH_LLM_INT8", "1") == "1":
+                # weight-only int8 decode tree: default ON since round 5
+                # (see bench.py — 6.57 vs 5.96 frames/s at B=1 after the
+                # formulation + scan-carry fixes)
                 from lvv_tpu.models import prepare_serving_params
                 globals()["_pq"] = jax.device_put(
                     prepare_serving_params(params))

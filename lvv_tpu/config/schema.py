@@ -177,6 +177,11 @@ class VoxelNeXtConfig:
     focal: bool = False
     focal_use_img: bool = False
     focal_spawn: int = 128
+    # "gn" trains the image trunk from scratch; "frozen_bn" loads a
+    # converted torchvision deeplabv3_resnet50 trunk (reference
+    # sem_deeplabv3.py pretrained path; tools/validate_weights.py
+    # --component deeplabv3)
+    focal_trunk_norm: str = "gn"
     # DSVT trunk knobs (reference backbones_3d/dsvt.py; waymo
     # dsvt_pillar.yaml / dsvt_voxel.yaml: d_model 192, 8 heads, set 36,
     # window 12x12 in x/y). dsvt_window is (z, y, x); dsvt_max_sets 0 ->

@@ -29,4 +29,5 @@ from .voxelnext_loss import assign_targets, voxelnext_loss
 from .vqa import (VQABatch, VQAModel, encode_prefix_fn,
                   generate_from_prefix, greedy_generate,
                   greedy_generate_multi, prepare_serving_params,
-                  sam_grid_side, sample_generate)
+                  prepare_serving_params_fused, sam_grid_side,
+                  sample_generate)

@@ -12,10 +12,16 @@ Re-design of the reference SemanticSeg package
 
 TPU-first: NHWC convs (channels-last is the TPU conv layout), GroupNorm
 instead of BatchNorm (no cross-host batch-stat sync in a branch that may
-run frozen), bottleneck blocks written in flax. The reference downloads
-pretrained torchvision weights; with zero egress the trunk trains from
-scratch or loads via a converter when weights are reachable
-(tools/validate_weights.py pattern).
+run frozen), bottleneck blocks written in flax.
+
+Pretrained mode (`norm="frozen_bn"`): the reference runs this trunk with
+torchvision deeplabv3_resnet50 weights, frozen, in eval mode — where
+BatchNorm is just a per-channel affine y = x*scale + bias with
+scale = γ/√(var+eps), bias = β − μ·scale. `FrozenBN` holds exactly that,
+and the convs switch to torch-exact explicit padding (flax "SAME" pads
+asymmetrically on stride-2, which would shift features vs torchvision).
+`tools/validate_weights.py --component deeplabv3` converts a torchvision
+state_dict into this tree (oracle: tests/test_semseg.py torch replica).
 """
 from __future__ import annotations
 
@@ -26,19 +32,48 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class FrozenBN(nn.Module):
+    """Eval-mode BatchNorm as a per-channel affine (the only form a frozen
+    pretrained torchvision trunk ever evaluates): y = x*scale + bias with
+    scale = γ/√(var+eps), bias = β − μ·scale, both baked at conversion
+    (tools/validate_weights.py::convert_deeplabv3)."""
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale + bias
+
+
+def _make_norm(norm: str, ch: int, name: str):
+    if norm == "frozen_bn":
+        return FrozenBN(name=name)
+    return nn.GroupNorm(num_groups=min(32, ch), name=name)
+
+
+def _torch_pad(k: int):
+    """torchvision explicit symmetric padding for a k-size conv (flax
+    "SAME" pads asymmetrically under stride 2 — a feature shift vs torch)."""
+    p = k // 2
+    return ((p, p), (p, p))
+
+
 class BasicBlock2D(nn.Module):
     """conv + norm + ReLU (reference basic_blocks.py:BasicBlock2D)."""
     out_ch: int
     kernel: int = 1
     stride: int = 1
     use_bias: bool = False
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        pad = (_torch_pad(self.kernel) if self.norm == "frozen_bn"
+               else "SAME")
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
+                    strides=(self.stride, self.stride), padding=pad,
                     use_bias=self.use_bias, name="conv")(x)
-        x = nn.GroupNorm(num_groups=min(32, self.out_ch), name="norm")(x)
+        x = _make_norm(self.norm, self.out_ch, "norm")(x)
         return nn.relu(x)
 
 
@@ -46,6 +81,7 @@ class Bottleneck(nn.Module):
     """ResNet-v1 bottleneck (1x1 -> 3x3 -> 1x1, x4 expansion)."""
     width: int
     stride: int = 1
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -55,13 +91,13 @@ class Bottleneck(nn.Module):
             shortcut = nn.Conv(out_ch, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, name="proj")(x)
-            shortcut = nn.GroupNorm(num_groups=32, name="proj_norm")(
-                shortcut)
-        y = BasicBlock2D(self.width, kernel=1, name="a")(x)
+            shortcut = _make_norm(self.norm, out_ch, "proj_norm")(shortcut)
+        y = BasicBlock2D(self.width, kernel=1, norm=self.norm,
+                         name="a")(x)
         y = BasicBlock2D(self.width, kernel=3, stride=self.stride,
-                         name="b")(y)
+                         norm=self.norm, name="b")(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="c")(y)
-        y = nn.GroupNorm(num_groups=32, name="c_norm")(y)
+        y = _make_norm(self.norm, out_ch, "c_norm")(y)
         return nn.relu(y + shortcut)
 
 
@@ -82,24 +118,32 @@ class ResNetFeatures(nn.Module):
     stride 4 / 256 channels.
     """
     layers_out: Sequence[str] = ("layer1",)
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, images: jax.Array) -> Dict[str, jax.Array]:
         """[B, H, W, 3] in [0, 1] -> {layer: [B, H/s, W/s, C]}."""
         want = list(self.layers_out)
         deepest = max(int(l[-1]) for l in want)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False,
-                    name="stem_conv")(images)
-        x = nn.GroupNorm(num_groups=32, name="stem_norm")(x)
+        pad7 = _torch_pad(7) if self.norm == "frozen_bn" else "SAME"
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=pad7,
+                    use_bias=False, name="stem_conv")(images)
+        x = _make_norm(self.norm, 64, "stem_norm")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.norm == "frozen_bn":
+            # torch MaxPool2d(3, 2, padding=1): explicit -inf pad + VALID
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         out: Dict[str, jax.Array] = {}
         for li in range(1, deepest + 1):
             name = f"layer{li}"
             width, depth, stride = _LAYER_SPECS[name]
             for bi in range(depth):
                 x = Bottleneck(width, stride=stride if bi == 0 else 1,
-                               name=f"{name}_b{bi}")(x)
+                               norm=self.norm, name=f"{name}_b{bi}")(x)
             if name in want:
                 out[name] = x
         return out
@@ -112,11 +156,15 @@ class PyramidFeat2D(nn.Module):
     feat_layers: Sequence[str] = ("layer1",)
     reduce_out: Sequence[int] = (32,)
     reduce_kernel: Sequence[int] = (1,)
+    # trunk norm: "gn" trains from scratch; "frozen_bn" loads a converted
+    # torchvision deeplabv3_resnet50 trunk (the reduce heads stay GN —
+    # they are trained with the detector either way, pyramid_ffn.py)
+    trunk_norm: str = "gn"
 
     @nn.compact
     def __call__(self, images: jax.Array) -> Dict[str, jax.Array]:
         feats = ResNetFeatures(layers_out=tuple(self.feat_layers),
-                               name="ifn")(images)
+                               norm=self.trunk_norm, name="ifn")(images)
         out = {}
         for i, layer in enumerate(self.feat_layers):
             out[layer + "_feat2d"] = BasicBlock2D(

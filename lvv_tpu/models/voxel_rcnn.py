@@ -143,6 +143,8 @@ class VoxelRCNNDetector(nn.Module):
                 image_feat = PyramidFeat2D(
                     feat_layers=("layer1",),
                     reduce_out=(self.det_cfg.channels[0],),
+                    trunk_norm=getattr(self.det_cfg, "focal_trunk_norm",
+                                       "gn"),
                     name="semseg")(image[None])[
                         "layer1_feat2d"][0]
                 # layer1 sits at stride 4: scale the pixel rows of the

@@ -199,8 +199,16 @@ def _decode_loop(model: "VQAModel", params, params_decode, last_logits,
 
     `params_decode` may be a different (e.g. weight-only int8) tree: the
     scan body streams every LLM weight per step while prefill reads each
-    once — the optimal formats differ."""
+    once — the optimal formats differ. A tree carrying "_fused_decode"
+    (prepare_serving_params(fuse=True)) routes to the packed-matmul
+    engine (models/decode_fused.py: 4 matmuls/layer instead of 7)."""
     b = last_logits.shape[0]
+    if params_decode is not None and "_fused_decode" in params_decode:
+        from .decode_fused import fused_decode_loop
+        return fused_decode_loop(
+            model.cfg.llm, model.dtype, params_decode["_fused_decode"],
+            last_logits, cache, max_new_tokens=max_new_tokens,
+            eos_id=eos_id)
     p_dec = params if params_decode is None else params_decode
 
     def body(state, _):
@@ -405,13 +413,30 @@ def prepare_serving_params(params, *, quantize_llm: bool = True):
     With quantize_llm, the Qwen projections and the tied unembed table are
     replaced by weight-only int8 (ops.quant.quantize_llm_params) — decode
     is HBM-bandwidth-bound over the LLM weights (~1.1 GB bf16 per step),
-    so halving the bytes is the decode speed lever. Prefill and training
-    keep using float trees; this is an inference-side copy."""
+    so halving the bytes is the decode speed lever (e2e 6.57 vs 5.96
+    frames/s, BASELINE.md r5). See prepare_serving_params_fused for the
+    packed-matmul decode engine on top. Prefill and training keep using
+    float trees; this is an inference-side copy."""
     params = dict(params)
     if quantize_llm and "llm" in params:
         from ..ops.quant import quantize_llm_params
         params["llm"] = quantize_llm_params(params["llm"])
     return params
+
+
+def prepare_serving_params_fused(model: "VQAModel", params, *,
+                                 quantize_llm: bool = True):
+    """prepare_serving_params + the fused decode pack (the tree routes
+    _decode_loop to models/decode_fused.py). Returns a params_decode tree
+    whose "_fused_decode" entry carries the packed layers."""
+    from .decode_fused import pack_decode_params
+    out = prepare_serving_params(params, quantize_llm=quantize_llm)
+    scaling = (model.llm_lora_alpha / model.llm_lora_rank
+               if model.llm_lora_rank else 1.0)
+    out["_fused_decode"] = pack_decode_params(params["llm"],
+                                              model.cfg.llm,
+                                              lora_scaling=scaling)
+    return out
 
 
 def greedy_generate(model: VQAModel, params, batch_bev, images, view_valid,

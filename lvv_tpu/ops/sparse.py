@@ -516,3 +516,79 @@ def to_dense(st: SparseTensor) -> jax.Array:
     flat = flat.at[idx].add(st.features)
     dense = flat[:-1].reshape(nz, ny, nx, c)
     return jnp.transpose(dense, (3, 0, 1, 2))
+
+
+# ------------------------------------------------------------------ planning
+
+def plan_capacity_demand(points_xyz: "np.ndarray", grid_cfg,
+                         n_stages: int = 5) -> tuple:
+    """Exact per-stage active-site demand for one cloud, host-side numpy.
+
+    The DSVT backbone got an exact host planner (models/dsvt.py::
+    plan_max_sets); this is the sparse-conv counterpart: it replays the
+    voxelizer's quantization and the backbone's stride-2 (kernel 3, pad 1)
+    downsampling chain on host coordinates, so a serving/training driver
+    can pick the smallest precompiled capacity-schedule bucket that
+    guarantees ZERO dropped voxels for this cloud (the reference never
+    drops — spconv is fully dynamic, data_processor.py:133-150; fixed
+    capacities are the static-shape price, and this planner removes the
+    drop risk at <= a few precompiled programs).
+
+    points_xyz: [N, >=3] float array (only xyz used).
+    grid_cfg: ops.voxelize.VoxelGrid (point_range + voxel_size + grid).
+    Returns (n_voxels, (stage1_demand, ..., stageN_demand)) — aligned
+    with VoxelNeXtConfig.capacity_schedule.
+
+    Exactness: stride-2/k3/p1 output sites are out = (c - k')/2 for
+    k' in {-1,0,1}^3 where divisible and inside ceil(grid/2) — identical
+    to ops.sparse.sparse_conv's index algebra (shift = 0).
+    """
+    import numpy as np
+    nx, ny, nz = grid_cfg.grid_size
+    x0, y0, z0 = grid_cfg.point_range[:3]
+    vx, vy, vz = grid_cfg.voxel_size
+    xi = np.floor((points_xyz[:, 0] - x0) / vx).astype(np.int64)
+    yi = np.floor((points_xyz[:, 1] - y0) / vy).astype(np.int64)
+    zi = np.floor((points_xyz[:, 2] - z0) / vz).astype(np.int64)
+    ok = ((xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+          & (zi >= 0) & (zi < nz))
+    coords = np.stack([zi[ok], yi[ok], xi[ok]], 1)
+    dims = np.array([nz, ny, nx], np.int64)
+    lin = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    lin = np.unique(lin)
+    n_voxels = int(lin.size)
+    demands = []
+    for _ in range(n_stages):
+        # delinearize on the current grid
+        z = lin // (dims[1] * dims[2])
+        y = (lin // dims[2]) % dims[1]
+        x = lin % dims[2]
+        out_dims = -(-dims // 2)
+        # per-axis stride-2 output candidates: even c -> {c//2},
+        # odd c -> {(c-1)//2, (c+1)//2}
+        cands = []
+        for c, n_out in zip((z, y, x), out_dims):
+            lo = np.where(c % 2 == 1, (c - 1) // 2, c // 2)
+            hi = np.where(c % 2 == 1, (c + 1) // 2, c // 2)
+            cands.append((lo, np.where(hi < n_out, hi, lo)))
+        outs = []
+        for az in cands[0]:
+            for ay in cands[1]:
+                for ax in cands[2]:
+                    outs.append((az * out_dims[1] + ay) * out_dims[2] + ax)
+        lin = np.unique(np.concatenate(outs))
+        dims = out_dims
+        demands.append(int(lin.size))
+    return n_voxels, tuple(demands)
+
+
+def pick_capacity_bucket(demands: tuple, buckets: tuple) -> int:
+    """Index of the smallest bucket whose schedule dominates `demands`
+    (zero drops); falls back to the last (largest) bucket. `buckets` is a
+    tuple of capacity schedules sorted ascending by size."""
+    n_vox, stages = demands
+    for i, b in enumerate(buckets):
+        cap0, sched = b
+        if n_vox <= cap0 and all(s <= c for s, c in zip(stages, sched)):
+            return i
+    return len(buckets) - 1

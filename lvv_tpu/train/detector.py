@@ -129,6 +129,49 @@ def make_detector_train_step(det, tx, det_cfg: VoxelNeXtConfig,
     return jax.jit(step)
 
 
+def make_bucketed_detector_train_step(detector_name: str, det_cfg,
+                                      vox_cfg, tx, buckets,
+                                      stride: int | None = None):
+    """Capacity-bucketed training: <=len(buckets) precompiled programs,
+    host-picked per batch so NO voxel is ever dropped (reference spconv is
+    fully dynamic and never drops, data_processor.py:133-150; fixed
+    capacities are the static-shape price and this driver removes the drop
+    risk — the sparse-conv counterpart of DSVT's plan_max_sets planner).
+
+    buckets: ascending tuple of (max_voxels, capacity_schedule).
+    Returns (steps, pick): `steps[i]` is the jitted train step compiled at
+    bucket i's capacities (all buckets share the same variables/opt_state
+    — parameter shapes are capacity-independent); `pick(points, num)` runs
+    the exact host planner (ops.sparse.plan_capacity_demand) over a host
+    batch and returns the index of the smallest bucket with zero drops.
+    """
+    import dataclasses
+
+    from ..models.registry import build_detector
+    from ..ops.sparse import pick_capacity_bucket, plan_capacity_demand
+    from ..ops.voxelize import VoxelGrid
+
+    steps = []
+    for max_vox, sched in buckets:
+        vcfg = dataclasses.replace(vox_cfg, max_voxels=int(max_vox))
+        dcfg = dataclasses.replace(det_cfg, capacity_schedule=tuple(sched))
+        det_b = build_detector(detector_name, dcfg, vcfg)
+        steps.append(make_detector_train_step(det_b, tx, dcfg, vcfg,
+                                              stride))
+    grid = VoxelGrid.create(vox_cfg.point_range, vox_cfg.voxel_size)
+    n_stages = len(buckets[0][1])
+
+    def pick(points, num_points) -> int:
+        best = 0
+        for b in range(len(points)):
+            pts = np.asarray(points[b][: int(num_points[b])])
+            demands = plan_capacity_demand(pts, grid, n_stages=n_stages)
+            best = max(best, pick_capacity_bucket(demands, buckets))
+        return best
+
+    return steps, pick
+
+
 def make_mppnet_train_step(det, tx):
     """Train step for the MPPNet offline refinement family (reference
     tools/train.py over detectors/mppnet.py: the dataset supplies T-frame

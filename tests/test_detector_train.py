@@ -104,3 +104,58 @@ def test_dense_center_loss_descends():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.fast
+def test_bucketed_train_step_zero_drops():
+    """Capacity-bucketed trainer: the exact host planner routes a small
+    cloud to the small bucket and a dense cloud to the big one; the picked
+    program reports ZERO dropped voxels downstream of the voxelizer, and
+    both bucket programs train the SAME variables."""
+    import lvv_tpu.ops.sparse as sp
+    from lvv_tpu.train.detector import make_bucketed_detector_train_step
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    b, n = 1, 800
+    small = rng.uniform(-2.0, 2.0, (b, n, 4)).astype(np.float32)
+    small[..., 2] = rng.uniform(-1.0, 0.0, (b, n))
+    dense = rng.uniform(-7.8, 7.8, (b, n, 4)).astype(np.float32)
+    dense[..., 2] = rng.uniform(-2.8, 2.8, (b, n))
+
+    base_sched = cfg.model.voxelnext.capacity_schedule or \
+        (512, 256, 128, 64, 32)
+    n_st = len(base_sched)
+    small_sched = tuple(max(s // 4, 16) for s in base_sched)
+    buckets = ((256, small_sched), (4096, tuple(base_sched)))
+    tx = optax.adam(1e-3)
+    steps, pick = make_bucketed_detector_train_step(
+        "VoxelNeXt", cfg.model.voxelnext, cfg.voxelize, tx, buckets)
+
+    num = jnp.full((b,), n, jnp.int32)
+    i_small = pick(small, np.full(b, n))
+    i_dense = pick(dense, np.full(b, n))
+    assert i_small == 0 and i_dense == 1
+
+    det = build_detector("VoxelNeXt", cfg.model.voxelnext, cfg.voxelize)
+    params = det.init(jax.random.PRNGKey(0), jnp.asarray(small[0]), num[0])
+    state = (params, tx.init(params["params"]))
+    gt = {"gt_boxes": jnp.asarray([[[0.0, 0, -1, 4, 2, 1.5, 0.3, 0, 0]]],
+                                  jnp.float32),
+          "gt_labels": jnp.zeros((b, 1), jnp.int32),
+          "gt_mask": jnp.ones((b, 1), bool)}
+    for pts, idx in ((small, i_small), (dense, i_dense)):
+        batch = {"points": jnp.asarray(pts), "num_points": num, **gt}
+        sp.set_overflow_debug(True)
+        sp.reset_overflow_log()
+        try:
+            state, metrics = steps[idx](state, batch)
+            jax.block_until_ready(metrics["loss"])
+        finally:
+            sp.set_overflow_debug(False)
+        assert np.isfinite(float(metrics["loss"]))
+        downstream = {k: v for k, v in sp.overflow_log().items()
+                      if not k.startswith("voxelize")}
+        dropped = {k: v for k, v in downstream.items()
+                   if v.get("dropped", v.get("overflow", 0)) > 0}
+        assert not dropped, dropped

@@ -208,3 +208,40 @@ def test_bf16_generate_with_int8_decode_tree(rng):
         params_decode=pq)
     assert np.asarray(toks).shape == (1, 4)
     assert 0 <= int(lens[0]) <= 4
+
+
+@pytest.mark.fast
+def test_fused_decode_parity():
+    """Packed-matmul decode engine (decode_fused.py) produces EXACTLY the
+    unfused int8 tree's greedy tokens: q|k|v / gate|up concatenation keeps
+    per-column scales, so every output column computes the same sum."""
+    from lvv_tpu import config as C
+    from lvv_tpu.models import (VQABatch, VQAModel, greedy_generate,
+                                prepare_serving_params,
+                                prepare_serving_params_fused)
+    cfg = C.tiny_config()
+    model = VQAModel(cfg.model, dtype=jnp.bfloat16)
+    c, (h, w) = cfg.model.bev_channels, cfg.model.bev_hw
+    s = cfg.model.sam.img_size
+    rng = np.random.default_rng(5)
+    bev = jnp.asarray(rng.normal(size=(1, c, h, w)).astype(np.float32))
+    imgs = jnp.asarray(
+        rng.uniform(-1, 1, (1, 6, 3, s, s)).astype(np.float32))
+    vv = jnp.ones((1, 6), bool)
+    ids = jnp.asarray(rng.integers(1, 200, (1, 8)), jnp.int32)
+    plen = jnp.full((1,), 8, jnp.int32)
+    batch = VQABatch(bev=bev, images=imgs, view_valid=vv, text_ids=ids,
+                     text_len=plen, labels=jnp.full_like(ids, -100),
+                     use_vision=jnp.asarray(True),
+                     use_lidar=jnp.asarray(True))
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    pq = prepare_serving_params(params)
+    pf = prepare_serving_params_fused(model, params)
+    t_ref, l_ref = greedy_generate(model, params, bev, imgs, vv, ids,
+                                   plen, max_new_tokens=6, eos_id=2,
+                                   params_decode=pq)
+    t_fused, l_fused = greedy_generate(model, params, bev, imgs, vv, ids,
+                                       plen, max_new_tokens=6, eos_id=2,
+                                       params_decode=pf)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_fused))
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_fused))

@@ -8,6 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from lvv_tpu.models import semseg
 from lvv_tpu.models.semseg import (BasicBlock2D, PyramidFeat2D,
                                    ResNetFeatures, gather_image_features,
                                    project_voxels_to_image)
@@ -146,3 +147,83 @@ def test_focal_conv_use_img_requires_inputs():
     m = FocalSparseConv(out_ch=4, spawn=4, use_img=True)
     with pytest.raises(ValueError, match="use_img"):
         m.init(jax.random.PRNGKey(0), st)
+
+
+@pytest.mark.fast
+def test_deeplabv3_converter_torch_parity():
+    """Converted torchvision-layout weights reproduce the torch eval
+    forward exactly (stem + layer1, frozen-BN trunk): a local torch
+    replica of torchvision resnet50's stem+layer1 is the oracle
+    (torchvision itself is absent; reference sem_deeplabv3.py:34-76)."""
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+
+    class TorchBottleneck(tnn.Module):
+        def __init__(self, cin, width, stride=1):
+            super().__init__()
+            out = width * 4
+            self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(width)
+            self.conv3 = tnn.Conv2d(width, out, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(out)
+            self.relu = tnn.ReLU()
+            self.downsample = None
+            if cin != out or stride != 1:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, out, 1, stride, bias=False),
+                    tnn.BatchNorm2d(out))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idt)
+
+    class TorchTrunk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(
+                TorchBottleneck(64, 64), TorchBottleneck(256, 64),
+                TorchBottleneck(256, 64))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            return self.layer1(x)
+
+    trunk = TorchTrunk()
+    # non-trivial BN stats (fresh BN has mean 0 / var 1)
+    with torch.no_grad():
+        for m in trunk.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0, 0.1)
+    trunk.eval()
+
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref = trunk(x).numpy()
+
+    from lvv_tpu.convert import merge_params
+    from lvv_tpu.convert.deeplabv3_torch import convert_deeplabv3_state
+    sd = {"backbone." + k: v.numpy() for k, v in
+          trunk.state_dict().items()}
+    converted = convert_deeplabv3_state(sd)
+
+    model = semseg.ResNetFeatures(layers_out=("layer1",), norm="frozen_bn")
+    xn = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    init = model.init(jax.random.PRNGKey(0), xn)["params"]
+    got = np.asarray(model.apply(
+        {"params": merge_params(init, converted)}, xn)["layer1"])
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                               rtol=2e-4, atol=2e-4)

@@ -251,3 +251,47 @@ def test_capacity_schedule_stress():
     log = run(cs.uniform_cloud(rng, n, pr))
     for k, v in log.items():
         assert v["dropped"] == max(v["demand"] - v["cap"], 0), (k, v)
+
+
+@pytest.mark.fast
+def test_plan_capacity_demand_exact():
+    """Host planner replays the voxelizer + stride-2 chain EXACTLY: its
+    per-stage demands equal the live sparse_conv active-site counts."""
+    import numpy as np
+    from lvv_tpu.ops.sparse import (SENTINEL, from_voxels,
+                                    plan_capacity_demand,
+                                    pick_capacity_bucket, sparse_conv)
+    from lvv_tpu.ops.voxelize import VoxelGrid
+
+    rng = np.random.default_rng(3)
+    grid = VoxelGrid.create((-8, -8, -2, 8, 8, 2), (0.5, 0.5, 0.5))
+    pts = np.stack([rng.uniform(-9, 9, 600), rng.uniform(-9, 9, 600),
+                    rng.uniform(-3, 3, 600)], 1).astype(np.float32)
+    n_vox, demands = plan_capacity_demand(pts, grid, n_stages=2)
+
+    # live chain: voxel coords -> two stride-2 convs, count active sites
+    nx, ny, nz = grid.grid_size
+    xi = np.floor((pts[:, 0] + 8) / 0.5).astype(np.int64)
+    yi = np.floor((pts[:, 1] + 8) / 0.5).astype(np.int64)
+    zi = np.floor((pts[:, 2] + 2) / 0.5).astype(np.int64)
+    ok = ((xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+          & (zi >= 0) & (zi < nz))
+    lin = np.unique((zi[ok] * ny + yi[ok]) * nx + xi[ok])
+    assert n_vox == lin.size
+    cap = 4096
+    coords = np.stack([lin // (nx * ny), (lin // nx) % ny, lin % nx], 1)
+    coords = np.pad(coords, ((0, cap - len(coords)), (0, 0)),
+                    constant_values=-1)
+    st = from_voxels(jnp.asarray(coords, jnp.int32),
+                     jnp.ones((cap, 4), jnp.float32), grid.grid_size)
+    w = jnp.zeros((27, 4, 4), jnp.float32)
+    for stage in range(2):
+        st = sparse_conv(st, w, out_capacity=cap)
+        live = int(np.sum(np.asarray(st.ids) != SENTINEL))
+        assert demands[stage] == live, (stage, demands[stage], live)
+
+    # bucket pick: smallest dominating schedule wins; overflow -> largest
+    buckets = ((100, (50, 20)), (1000, (500, 200)), (10**6, (10**6, 10**6)))
+    assert pick_capacity_bucket((80, (40, 10)), buckets) == 0
+    assert pick_capacity_bucket((80, (60, 10)), buckets) == 1
+    assert pick_capacity_bucket((10**7, (10**7, 1)), buckets) == 2

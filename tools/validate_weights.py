@@ -168,7 +168,7 @@ def validate_qwen(hf_dir: str, out_dir: pathlib.Path,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--component", required=True,
-                    choices=["sam", "clip", "qwen", "swin"])
+                    choices=["sam", "clip", "qwen", "swin", "deeplabv3"])
     ap.add_argument("--torch-ckpt")
     ap.add_argument("--hf-dir")
     ap.add_argument("--golden")
@@ -194,6 +194,24 @@ def main() -> None:
         (out_dir / "clip_manifest.json").write_text(
             json.dumps(tensor_manifest(converted), indent=1))
         print("clip: manifest written")
+    elif args.component == "deeplabv3":
+        # reference sem_deeplabv3.py loads torchvision deeplabv3_resnet50
+        # and consumes backbone stem+layer1 (multimodal focal conv trunk)
+        import jax
+        import jax.numpy as jnp
+        from lvv_tpu.convert import merge_params
+        from lvv_tpu.convert.deeplabv3_torch import convert_deeplabv3_state
+        from lvv_tpu.models.semseg import ResNetFeatures
+        sd = load_torch_state(args.torch_ckpt)
+        converted = convert_deeplabv3_state(sd)
+        (out_dir / "deeplabv3_manifest.json").write_text(
+            json.dumps(tensor_manifest(converted), indent=1))
+        model = ResNetFeatures(layers_out=("layer1",), norm="frozen_bn")
+        x = jnp.zeros((1, 64, 64, 3))
+        init = model.init(jax.random.PRNGKey(0), x)["params"]
+        merged = merge_params(init, converted)
+        y = model.apply({"params": merged}, x)["layer1"]
+        print(f"deeplabv3: trunk converted + forward OK {y.shape}")
     else:
         from lvv_tpu.convert.swin_torch import convert_swin_state
         sd = load_torch_state(args.torch_ckpt) if args.torch_ckpt else \
