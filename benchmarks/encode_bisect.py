@@ -97,9 +97,12 @@ def main():
     imgs6 = imgs[0]
     sam_params = jax.jit(lambda i: sam_mod.init(jax.random.PRNGKey(0),
                                                 i[:1]))(imgs6)
-    samsec = timed(loop(lambda h: (
+    # params ride as jit ARGUMENTS: closed-over weights bake into the
+    # program as constants and blow the axon remote-compile size limit
+    # (HTTP 413 — the round-4 degenerate-artifact root cause)
+    samsec = timed(loop(lambda p, h: (
         lambda t: h + 1e-8 * t.astype(jnp.float32).mean().astype(h.dtype))(
-        sam_mod.apply(sam_params, h)), K_BIG), imgs6)
+        sam_mod.apply(p, h)), K_BIG), sam_params, imgs6)
     rec("sam_total", (samsec - floor_big) / K_BIG * 1e3)
 
     # --- CLIP on SAM features -------------------------------------------
@@ -108,9 +111,9 @@ def main():
     feats = jnp.asarray(rng.normal(size=(6, 1024, 16, 16)), jnp.bfloat16)
     clip_params = jax.jit(lambda f: clip_mod.init(
         jax.random.PRNGKey(0), patch_embeds=f[:1]))(feats)
-    clipsec = timed(loop(lambda h: (
+    clipsec = timed(loop(lambda p, h: (
         lambda t: h + 1e-8 * t.astype(jnp.float32).mean().astype(h.dtype))(
-        clip_mod.apply(clip_params, patch_embeds=h)), K_SMALL), feats)
+        clip_mod.apply(p, patch_embeds=h)), K_SMALL), clip_params, feats)
     rec("clip_total", (clipsec - floor_small) / K_SMALL * 1e3)
 
     # --- projector -------------------------------------------------------
@@ -120,9 +123,9 @@ def main():
                             dtype=jnp.bfloat16)
     fused = jnp.asarray(rng.normal(size=(6, 256, 2048)), jnp.bfloat16)
     pp = proj_mod.init(jax.random.PRNGKey(0), fused[:1])
-    projsec = timed(loop(lambda h: (
+    projsec = timed(loop(lambda p, h: (
         lambda t: h + 1e-8 * t.astype(jnp.float32).mean().astype(h.dtype))(
-        proj_mod.apply(pp, h)), K_SMALL), fused)
+        proj_mod.apply(p, h)), K_SMALL), pp, fused)
     rec("projector", (projsec - floor_small) / K_SMALL * 1e3)
 
     # --- per-block -------------------------------------------------------
@@ -130,8 +133,8 @@ def main():
         blk = SAMBlock(12, window_size=ws, input_size=(grid, grid),
                        dtype=jnp.bfloat16, quant8=True)
         bp = blk.init(jax.random.PRNGKey(0), x6[:1])
-        sec = timed(loop(lambda h: blk.apply(bp, h).astype(h.dtype),
-                         K_SMALL), x6)
+        sec = timed(loop(lambda p, h: blk.apply(p, h).astype(h.dtype),
+                         K_SMALL), bp, x6)
         rec(name, (sec - floor_small) / K_SMALL * 1e3)
 
     # --- patch embed + pos ------------------------------------------------
@@ -149,8 +152,8 @@ def main():
 
     ps = PatchStub()
     psp = ps.init(jax.random.PRNGKey(0), imgs6[:1])
-    sec = timed(loop(lambda h: h + 1e-8 * ps.apply(psp, h).astype(
-        jnp.float32).mean().astype(h.dtype), K_SMALL), imgs6)
+    sec = timed(loop(lambda p, h: h + 1e-8 * ps.apply(p, h).astype(
+        jnp.float32).mean().astype(h.dtype), K_SMALL), psp, imgs6)
     rec("patch_embed", (sec - floor_small) / K_SMALL * 1e3)
 
     # --- neck + VARY -------------------------------------------------------
@@ -173,14 +176,14 @@ def main():
 
     ns = NeckStub()
     nsp = ns.init(jax.random.PRNGKey(0), x6[:1])
-    sec = timed(loop(lambda h: h + 1e-8 * ns.apply(nsp, h).astype(
-        jnp.float32).mean().astype(h.dtype), K_SMALL), x6)
+    sec = timed(loop(lambda p, h: h + 1e-8 * ns.apply(p, h).astype(
+        jnp.float32).mean().astype(h.dtype), K_SMALL), nsp, x6)
     rec("neck_vary", (sec - floor_small) / K_SMALL * 1e3)
 
     # --- whole encoder -------------------------------------------------
-    fullsec = timed(loop(lambda h: (
+    fullsec = timed(loop(lambda p, h: (
         lambda t: h + 1e-8 * t.astype(jnp.float32).mean().astype(h.dtype))(
-        enc.apply(params, h, method="encode_views")), K_BIG), imgs)
+        enc.apply(p, h, method="encode_views")), K_BIG), params, imgs)
     rec("deepencoder_full", (fullsec - floor_big) / K_BIG * 1e3)
 
     # --- derived -----------------------------------------------------------

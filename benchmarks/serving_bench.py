@@ -198,7 +198,8 @@ def main():
             eng = ServingEngine(
                 m, params, max_batch=b, max_wait_ms=30.0,
                 max_new_tokens=NEW_TOKENS, eos_id=-1,
-                params_decode=globals().get("_pq"))
+                params_decode=globals().get("_pq"),
+                multi_groups=max(g_multi, 1))
             try:
                 # warm every bucket the timed phase can hit (1 and b)
                 eng.submit(**row_lean).result(timeout=900)

@@ -89,8 +89,102 @@ def launch(cfg_path):
         text=True)
 
 
+def steps_soak(n_steps: int):
+    """In-process >=N-step flagship soak (VERDICT r4 ask #5): per-window
+    step time drift, recompile count after step 1 (any is a bug), HBM
+    growth, loss curve. Writes benchmarks/train_soak.json under
+    "steps_soak"."""
+    import logging
+
+    sys.path.insert(0, str(REPO))
+    root = pathlib.Path(os.environ.get("LVV_SOAK_DIR", "/tmp/lvv_soak_s"))
+    cfg_path = root / "soak_config.json"
+    root.mkdir(parents=True, exist_ok=True)
+    fabricate(root, cfg_path)
+
+    import jax
+    jax.config.update("jax_log_compiles", True)
+    compile_log = []
+
+    class _H(logging.Handler):
+        def emit(self, rec):
+            m = rec.getMessage()
+            if "ompil" in m:           # "Compiling <fn> ..." / "Compilation"
+                compile_log.append(m.split("\n")[0][:120])
+    h = _H()
+    for name in ("jax._src.interpreters.pxla", "jax._src.dispatch",
+                 "jax._src.compiler"):
+        logging.getLogger(name).addHandler(h)
+        logging.getLogger(name).setLevel(logging.DEBUG)
+
+    from lvv_tpu.config import VQAConfig, load
+    from lvv_tpu.parallel import shard_batch
+    from lvv_tpu.train.trainer import Trainer
+    from lvv_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    cfg = load(VQAConfig, str(cfg_path), [])
+    tr = Trainer(cfg)   # __init__ builds state + the jitted train step
+
+    def batch_stream():
+        epoch = 0
+        while True:
+            for b in tr._batches(tr.train_idx, epoch):
+                yield shard_batch(b, tr.mesh)
+            epoch += 1
+
+    stream = batch_stream()
+    results = {"n_steps": n_steps}
+    # step 1 (all compiles land here)
+    t0 = time.time()
+    tr.state, metrics = tr.train_step(tr.state, next(stream))
+    first_loss = float(metrics["loss"])
+    results["step1_s"] = round(time.time() - t0, 1)
+    compiles_after_warm = len(compile_log)
+
+    window = 10
+    win_times, losses, hbm = [], [first_loss], []
+    t_prev = time.perf_counter()
+    for s in range(1, n_steps):
+        tr.state, metrics = tr.train_step(tr.state, next(stream))
+        if (s + 1) % window == 0:
+            loss = float(metrics["loss"])     # fetch = sync point
+            now = time.perf_counter()
+            win_times.append((now - t_prev) / window)
+            t_prev = now
+            losses.append(loss)
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                hbm.append(round(ms.get("bytes_in_use", 0) / 2 ** 30, 3))
+            except Exception:
+                pass
+    new_compiles = compile_log[compiles_after_warm:]
+    results.update({
+        "step_s_first3_windows": [round(t, 4) for t in win_times[:3]],
+        "step_s_last3_windows": [round(t, 4) for t in win_times[-3:]],
+        "step_s_median": round(float(np.median(win_times)), 4),
+        "drift_pct": round(100 * (np.mean(win_times[-3:])
+                                  / np.mean(win_times[:3]) - 1), 2),
+        "recompiles_after_step1": len(new_compiles),
+        "recompile_msgs": new_compiles[:5],
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "loss_every_10": [round(x, 4) for x in losses[::5]],
+        "hbm_gb_first": hbm[0] if hbm else None,
+        "hbm_gb_last": hbm[-1] if hbm else None,
+        "hbm_growth_gb": (round(hbm[-1] - hbm[0], 3) if len(hbm) > 1
+                          else None),
+    })
+    prior = json.loads(OUT.read_text()) if OUT.exists() else {}
+    prior["steps_soak"] = results
+    OUT.write_text(json.dumps(prior, indent=1))
+    print(json.dumps(results, indent=1))
+
+
 def main():
     sys.path.insert(0, str(REPO))
+    n_steps = int(os.environ.get("LVV_SOAK_STEPS", "0"))
+    if n_steps:
+        steps_soak(n_steps)
+        return
     root = pathlib.Path(os.environ.get("LVV_SOAK_DIR", "/tmp/lvv_soak"))
     cfg_path = root / "soak_config.json"
     root.mkdir(parents=True, exist_ok=True)
@@ -167,7 +261,9 @@ def main():
     arts["other"] = sorted(str(f.relative_to(run_dir)) for f in plots)[:20]
     results["artifacts"] = arts
 
-    OUT.write_text(json.dumps(results, indent=1))
+    prior = json.loads(OUT.read_text()) if OUT.exists() else {}
+    prior["resume_soak"] = results
+    OUT.write_text(json.dumps(prior, indent=1))
     print(json.dumps(results, indent=1))
 
 

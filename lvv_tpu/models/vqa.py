@@ -424,19 +424,18 @@ def prepare_serving_params(params, *, quantize_llm: bool = True):
     return params
 
 
-def prepare_serving_params_fused(model: "VQAModel", params, *,
-                                 quantize_llm: bool = True):
-    """prepare_serving_params + the fused decode pack (the tree routes
-    _decode_loop to models/decode_fused.py). Returns a params_decode tree
-    whose "_fused_decode" entry carries the packed layers."""
+def prepare_serving_params_fused(model: "VQAModel", params):
+    """Fused decode pack (routes _decode_loop to models/decode_fused.py).
+    The returned tree carries ONLY "_fused_decode" — the decode scan never
+    touches the flax tree in fused mode, and shipping a dead quantized
+    copy alongside doubles the dispatch arg count and wastes ~0.5 GB HBM
+    (measured as a stream-throughput loss, BASELINE.md r5)."""
     from .decode_fused import pack_decode_params
-    out = prepare_serving_params(params, quantize_llm=quantize_llm)
     scaling = (model.llm_lora_alpha / model.llm_lora_rank
                if model.llm_lora_rank else 1.0)
-    out["_fused_decode"] = pack_decode_params(params["llm"],
-                                              model.cfg.llm,
-                                              lora_scaling=scaling)
-    return out
+    return {"_fused_decode": pack_decode_params(params["llm"],
+                                                model.cfg.llm,
+                                                lora_scaling=scaling)}
 
 
 def greedy_generate(model: VQAModel, params, batch_bev, images, view_valid,

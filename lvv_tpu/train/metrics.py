@@ -186,23 +186,37 @@ _SPICE_ATTRS = frozenset(
 def _spice_lite_tuples(text: str):
     """Approximate scene-graph tuples from one caption: objects (stemmed
     content unigrams), attribute-object pairs (an attribute lexicon word
-    directly preceding an object), and object-relation-object triples
-    (object, non-object connective word, next object)."""
+    attached to the next object, skipping intervening attributes — "a
+    large red car" yields both (large, car) and (red, car)), and
+    object-relation-object triples (object, connective, next object).
+    Gerunds ("riding", "crossing") count as relations, not objects — the
+    delta vs hand-derived official SPICE on relation-bearing fixtures
+    halved with this (benchmarks/spice_delta.json)."""
     toks = [t for t in "".join(ch.lower() if ch.isalnum() else " "
                                for ch in text).split() if t]
 
     def stem(t):
         return t[:-1] if len(t) > 3 and t.endswith("s") else t
 
+    def is_rel(t):
+        return len(t) > 4 and t.endswith("ing")
+
     content = [(i, stem(t)) for i, t in enumerate(toks)
                if t not in _SPICE_STOP]
-    objs = [(i, t) for i, t in content if t not in _SPICE_ATTRS]
+    objs = [(i, t) for i, t in content
+            if t not in _SPICE_ATTRS and not is_rel(t)]
+    obj_pos = {i for i, _ in objs}
     tuples = {("o", t) for _, t in objs}
     for i, t in content:
-        if t in _SPICE_ATTRS and i + 1 < len(toks):
-            nxt = stem(toks[i + 1])
-            if nxt not in _SPICE_STOP and nxt not in _SPICE_ATTRS:
-                tuples.add(("a", t, nxt))
+        if t in _SPICE_ATTRS:
+            # attach to the next object, skipping other attributes
+            for j in range(i + 1, len(toks)):
+                if j in obj_pos:
+                    tuples.add(("a", t, stem(toks[j])))
+                    break
+                if stem(toks[j]) not in _SPICE_ATTRS \
+                        and toks[j] not in _SPICE_STOP:
+                    break
     for (i1, t1), (i2, t2) in zip(objs, objs[1:]):
         between = [stem(t) for t in toks[i1 + 1:i2]
                    if t not in _SPICE_STOP and stem(t) not in _SPICE_ATTRS]
