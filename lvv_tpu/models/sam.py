@@ -183,6 +183,10 @@ class SAMAttention(nn.Module):
                 grid_w=w, heads=self.num_heads,
                 block_q=min(h * w, 4096), block_k=1024,
                 quant8=self.quant8 and "attn" in _q8_scope(),
+                # "qk" scope: int8 SCORE matmul (2x MXU TOPS), operands
+                # quantized outside the kernel — see
+                # _flash_hpacked_qk8_kernel
+                qk8=self.quant8 and "qk" in _q8_scope(),
                 interpret=fused_mlp._FORCE_INTERPRET)
             out = self._dense("proj", c, out)
             return out.reshape(b, h, w, c)

@@ -735,13 +735,64 @@ def _flash_hpacked_kernel(q_ref, k_ref, v_ref, qrw_ref, sv_ref, o_ref,
         o_ref[0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
 
 
+def _flash_hpacked_qk8_kernel(q_ref, k_ref, v_ref, qrw_ref, sq_ref, sk_ref,
+                              o_ref, acc_ref, m_ref, l_ref, *, w: int):
+    """hpacked flash tile with the SCORE matmul on the int8 MXU path
+    (2x bf16 TOPS on v5e). q/k arrive pre-quantized per (token, head)
+    128-lane block — the quantize work rides OUTSIDE the kernel in XLA
+    (the r2 in-kernel p-quantize variant lost to its own VPU cost); the
+    kernel only rescales the int32 scores with the row/col scales (two
+    fused VPU multiplies) before the usual base-2 online softmax. p@v
+    stays bf16 (its int8 variant measured a loss, BASELINE.md r5)."""
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+    ki = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q8 = q_ref[0]                                     # [bq, 128] int8
+    k8 = k_ref[0]                                     # [bk, 128] int8
+    vb = v_ref[0]
+    z = jax.lax.dot_general(q8, k8, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    sq = sq_ref[0, 0].astype(jnp.float32)             # [bq]
+    sk = sk_ref[0, 0].astype(jnp.float32)             # [bk]
+    s = z.astype(jnp.float32) * sq[:, None] * sk[None, :]
+    qrw = qrw_ref[0][:, :w].astype(jnp.float32)       # [bq, W]
+    s = s + jnp.concatenate([qrw] * (bk // w), axis=1)
+
+    m_prev = m_ref[:, 0]
+    l_prev = l_ref[:, 0]
+    smax = jnp.max(s, axis=-1)
+    m_new = jnp.maximum(m_prev, smax)
+    p = jnp.exp2(s - m_new[:, None])
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+    pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
+    m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, 0], 1e-30)
+        o_ref[0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "grid_w", "heads",
                                              "block_q", "block_k", "quant8",
-                                             "interpret"))
+                                             "qk8", "interpret"))
 def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
                                    grid_w: int, heads: int,
                                    block_q: int = 4096, block_k: int = 1024,
-                                   quant8: bool = False,
+                                   quant8: bool = False, qk8: bool = False,
                                    interpret: bool = False):
     """Global SAM attention straight from the packed qkv Dense output —
     the head axis never transposes in HBM.
@@ -796,6 +847,52 @@ def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
         [(q_rw * _LOG2E).astype(cd),
          jnp.zeros((b, s, heads, _LANE - grid_w), cd)],
         axis=-1).reshape(b, s, heads * _LANE)
+    if qk8:
+        # per-(token, head) symmetric int8 of the augmented operands; the
+        # quantize runs in XLA (fuses into the aug construction), scales
+        # ride lane-aligned as [b, heads, s]
+        def q8_blocks(aug):
+            a4 = aug.reshape(b, s, heads, _LANE).astype(f32)
+            sc = jnp.maximum(jnp.max(jnp.abs(a4), axis=-1) / 127.0, 1e-8)
+            a8 = jnp.clip(jnp.round(a4 / sc[..., None]), -127,
+                          127).astype(jnp.int8)
+            return a8.reshape(b, s, heads * _LANE), sc.transpose(0, 2, 1)
+        q8a, sq = q8_blocks(q_aug)
+        k8a, sk = q8_blocks(k_aug)
+        kernel = functools.partial(_flash_hpacked_qk8_kernel, w=grid_w)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, heads, s // block_q, s // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, _LANE),
+                             lambda b_, h_, i, j: (b_, i, h_)),
+                pl.BlockSpec((1, block_k, _LANE),
+                             lambda b_, h_, i, j: (b_, j, h_)),
+                pl.BlockSpec((1, block_k, _LANE),
+                             lambda b_, h_, i, j: (b_, j, h_)),
+                pl.BlockSpec((1, block_q, _LANE),
+                             lambda b_, h_, i, j: (b_, i, h_)),
+                pl.BlockSpec((1, 1, block_q),
+                             lambda b_, h_, i, j: (b_, h_, i)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda b_, h_, i, j: (b_, h_, j)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, _LANE),
+                                   lambda b_, h_, i, j: (b_, i, h_)),
+            out_shape=jax.ShapeDtypeStruct((b, s, heads * _LANE), cd),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, _LANE), jnp.float32),
+                pltpu.VMEM((block_q, _LANE), jnp.float32),
+                pltpu.VMEM((block_q, _LANE), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+                vmem_limit_bytes=64 * 2 ** 20),
+            interpret=interpret,
+        )(q8a, k8a, v_pad, qrw_pad, sq, sk)
+        return out.reshape(b, s, heads, _LANE)[..., :d].reshape(b, s, c)
+
     if quant8:
         sv = jnp.maximum(jnp.max(jnp.abs(vr.astype(f32)), axis=1) / 127.0,
                          1e-8)                        # [b, heads, d]

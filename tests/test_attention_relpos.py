@@ -272,3 +272,26 @@ def test_window_attention_fused2_matches_packed(key, win, heads, hd):
                                 heads=heads, win=win, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.fast
+def test_relpos_hpacked_qk8_close_to_float(key):
+    """int8-score-matmul variant (qk8): outputs stay within int8 logit
+    noise of the float hpacked kernel — the serving-mode guarantee for
+    the LVV_Q8_SCOPE=...,qk path."""
+    from lvv_tpu.ops.attention import flash_attention_relpos_hpacked
+    b, heads, gh, gw, d = 1, 2, 8, 128, 64
+    s = gh * gw
+    c = heads * d
+    ks = jax.random.split(key, 3)
+    qkv = jax.random.normal(ks[0], (b, s, 3 * c)) * 0.5
+    rel_h = jax.random.normal(ks[1], (gh, gh, d)) * 0.1
+    rel_w = jax.random.normal(ks[2], (gw, gw, d)) * 0.1
+    kw = dict(scale=1.0 / math.sqrt(d), grid_w=gw, heads=heads,
+              block_q=512, block_k=256, interpret=True)
+    ref = np.asarray(flash_attention_relpos_hpacked(
+        qkv, rel_h, rel_w, **kw))
+    got = np.asarray(flash_attention_relpos_hpacked(
+        qkv, rel_h, rel_w, qk8=True, **kw))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
