@@ -84,8 +84,12 @@ BUCKETS = (
 def main() -> None:
     import os
     import jax
-    jax.config.update("jax_platforms",
-                      os.environ.get("LVV_STRESS_PLATFORM", "cpu"))
+    plat = os.environ.get("LVV_STRESS_PLATFORM", "cpu")
+    if plat != "cpu":
+        # keep cpu listed: the overflow telemetry's jax.debug.callback
+        # needs a local CPU device to land its inputs on
+        plat = plat + ",cpu"
+    jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     from lvv_tpu.config import VQAConfig, load
     from lvv_tpu.models.registry import build_detector

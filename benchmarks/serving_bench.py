@@ -201,10 +201,19 @@ def main():
                 params_decode=globals().get("_pq"),
                 multi_groups=max(g_multi, 1))
             try:
-                # warm every bucket the timed phase can hit (1 and b)
+                # warm every bucket the timed phase can hit (1, b, and —
+                # with multi_groups — the packed G*b program: an unwarmed
+                # multi bucket otherwise compiles INSIDE the timed window,
+                # seen as engine_8_dev = 0.58 frames/s pure compile)
                 eng.submit(**row_lean).result(timeout=900)
                 for f in [eng.submit(**row_lean) for _ in range(b)]:
                     f.result(timeout=900)
+                if g_multi > 1:
+                    for gw in range(2, g_multi + 1):
+                        futs = [eng.submit(**row_lean)
+                                for _ in range(gw * b)]
+                        for f in futs:
+                            f.result(timeout=1800)
                 n = 4 * b
                 t0 = time.perf_counter()
                 for f in [eng.submit(**row_lean) for _ in range(n)]:

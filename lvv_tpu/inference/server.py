@@ -438,13 +438,21 @@ class ServingEngine:
 
     def _dispatch_multi(self, groups: List[List[_Request]]):
         """Launch ONE resident program over G full buckets (non-blocking).
-        Results flatten group-major, aligned with the flat request list."""
+        Results flatten group-major, aligned with the flat request list.
+
+        Sensors stack RAW (u8 frames / f16 bev stay in wire format): the
+        multi program preprocesses per group inside its scan, so the f32
+        image tensor exists for one group at a time — a G=4 x B=8 f32
+        stack is 2.4 GB and OOMs with depth-2 pipelining."""
         import jax.numpy as jnp
 
-        stacks = [self._sensor_stacks(g) for g in groups]
-        bev = jnp.stack([s[0] for s in stacks])
-        images = jnp.stack([s[1] for s in stacks])
-        valid = jnp.stack([s[2] for s in stacks])
+        bev = jnp.stack([jnp.stack([r.bev for r in g]) for g in groups])
+        images = jnp.stack([jnp.stack([r.images for r in g])
+                            for g in groups])
+        if images.dtype != jnp.uint8:
+            images = images.astype(jnp.float32)
+        valid = jnp.stack([jnp.stack([r.view_valid for r in g])
+                           for g in groups])
         ids = self._put(np.stack(
             [np.stack([r.text_ids for r in g]) for g in groups]))
         lens = self._put(np.stack(

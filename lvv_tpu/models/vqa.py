@@ -253,7 +253,7 @@ def _generate_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
 
 @functools.cache
 def _generate_multi_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
-                       max_cache: int):
+                       max_cache: int, preprocess_u8: bool):
     """Jitted multi-batch generate: ONE device program runs G whole
     (encode + prefill + decode) batches via lax.scan over the leading
     group axis. Through the axon relay (and on any loaded serving host)
@@ -267,10 +267,19 @@ def _generate_multi_fn(model: "VQAModel", max_new_tokens: int, eos_id: int,
 
     def impl(params, params_decode, bev, images, view_valid, prompt_ids,
              prompt_len):
-        # leading dims: bev [G, B, C, H, W], images [G, B, 6, 3, S, S], ...
+        # leading dims: bev [G, B, C, H, W], images [G, B, 6, 3, S, S]
+        # (or, with preprocess_u8, raw [G, B, 6, H, W, 3] uint8 frames —
+        # preprocessed per GROUP inside the scan, so the f32 image tensor
+        # only ever exists for one group: a G=4 x B=8 f32 stack is 2.4 GB
+        # and OOMed the serving engine, the u8 stack is 0.6 GB)
         def body(carry, xs):
             bev_g, img_g, vv_g, ids_g, len_g = xs
             b = ids_g.shape[0]
+            bev_g = bev_g.astype(jnp.float32)
+            if preprocess_u8:
+                from ..ops.image import preprocess_views
+                img_g = jax.vmap(lambda v: preprocess_views(
+                    v, model.cfg.sam.img_size))(img_g)
             cache = init_cache(model.cfg.llm, b, max_cache,
                                dtype=model.dtype)
             last_logits, cache = model.apply(
@@ -300,11 +309,14 @@ def greedy_generate_multi(model: "VQAModel", params, bev, images,
     separate greedy_generate calls (tested); one compilation per (G, B).
     Use for throughput serving / offline eval where ~G×B frames are
     available at once — per-dispatch host+relay overhead amortizes G-fold
-    (benchmarks/serving_bench.py LVV_BENCH_MULTI)."""
+    (benchmarks/serving_bench.py LVV_BENCH_MULTI). Pass raw uint8 frames
+    [G, B, 6, H, W, 3] to preprocess per group inside the program (4x
+    smaller resident input; the engine's wire format)."""
     p_static = _prefix_len(model.cfg)
     max_cache = max_cache or (p_static + prompt_ids.shape[2]
                               + max_new_tokens + 8)
-    fn = _generate_multi_fn(model, max_new_tokens, eos_id, max_cache)
+    fn = _generate_multi_fn(model, max_new_tokens, eos_id, max_cache,
+                            images.dtype == jnp.uint8)
     return fn(params, params_decode, bev, images, view_valid, prompt_ids,
               prompt_len)
 

@@ -735,15 +735,21 @@ def _flash_hpacked_kernel(q_ref, k_ref, v_ref, qrw_ref, sv_ref, o_ref,
         o_ref[0] = (acc_ref[...] / l[:, None]).astype(o_ref.dtype)
 
 
-def _flash_hpacked_qk8_kernel(q_ref, k_ref, v_ref, qrw_ref, sq_ref, sk_ref,
-                              o_ref, acc_ref, m_ref, l_ref, *, w: int):
+def _flash_hpacked_qk8_kernel(q_ref, k_ref, v_ref, qrw_ref,
+                              o_ref, acc_ref, m_ref, l_ref, *, w: int,
+                              d: int):
     """hpacked flash tile with the SCORE matmul on the int8 MXU path
     (2x bf16 TOPS on v5e). q/k arrive pre-quantized per (token, head)
     128-lane block — the quantize work rides OUTSIDE the kernel in XLA
     (the r2 in-kernel p-quantize variant lost to its own VPU cost); the
     kernel only rescales the int32 scores with the row/col scales (two
-    fused VPU multiplies) before the usual base-2 online softmax. p@v
-    stays bf16 (its int8 variant measured a loss, BASELINE.md r5)."""
+    fused VPU multiplies) before the usual base-2 online softmax. The
+    scales ride in otherwise-free LANES of inputs the kernel already
+    loads — sq in qrw's lane w, sk in v's lane d — because a standalone
+    [b, heads, s] scale input cannot satisfy Mosaic's (8, 128) block
+    tiling (the lowering rejects a 1-wide sublane block). p@v stays bf16
+    (its int8 variant measured a loss, BASELINE.md r5); the sk lane
+    pollutes only output lane d, which the caller slices away."""
     bq = q_ref.shape[1]
     bk = k_ref.shape[1]
     ki = pl.program_id(3)
@@ -760,8 +766,8 @@ def _flash_hpacked_qk8_kernel(q_ref, k_ref, v_ref, qrw_ref, sq_ref, sk_ref,
     vb = v_ref[0]
     z = jax.lax.dot_general(q8, k8, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    sq = sq_ref[0, 0].astype(jnp.float32)             # [bq]
-    sk = sk_ref[0, 0].astype(jnp.float32)             # [bk]
+    sq = qrw_ref[0][:, w].astype(jnp.float32)         # [bq] stashed lane
+    sk = vb[:, d].astype(jnp.float32)                 # [bk] stashed lane
     s = z.astype(jnp.float32) * sq[:, None] * sk[None, :]
     qrw = qrw_ref[0][:, :w].astype(jnp.float32)       # [bq, W]
     s = s + jnp.concatenate([qrw] * (bk // w), axis=1)
@@ -849,17 +855,29 @@ def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
         axis=-1).reshape(b, s, heads * _LANE)
     if qk8:
         # per-(token, head) symmetric int8 of the augmented operands; the
-        # quantize runs in XLA (fuses into the aug construction), scales
-        # ride lane-aligned as [b, heads, s]
+        # quantize runs in XLA (fuses into the aug construction). Scales
+        # stash into free lanes: sq -> qrw lane w, sk -> v lane d (see
+        # kernel docstring for why a standalone scale input can't tile).
+        assert grid_w < _LANE and d < _LANE, (grid_w, d)
+
         def q8_blocks(aug):
             a4 = aug.reshape(b, s, heads, _LANE).astype(f32)
             sc = jnp.maximum(jnp.max(jnp.abs(a4), axis=-1) / 127.0, 1e-8)
             a8 = jnp.clip(jnp.round(a4 / sc[..., None]), -127,
                           127).astype(jnp.int8)
-            return a8.reshape(b, s, heads * _LANE), sc.transpose(0, 2, 1)
+            return a8.reshape(b, s, heads * _LANE), sc   # sc [b, s, heads]
         q8a, sq = q8_blocks(q_aug)
         k8a, sk = q8_blocks(k_aug)
-        kernel = functools.partial(_flash_hpacked_qk8_kernel, w=grid_w)
+        qrw4 = qrw_pad.reshape(b, s, heads, _LANE)
+        qrw_q8 = jnp.concatenate(
+            [qrw4[..., :grid_w], sq[..., None].astype(cd),
+             qrw4[..., grid_w + 1:]], axis=-1).reshape(b, s, heads * _LANE)
+        v4 = v_pad.reshape(b, s, heads, _LANE)
+        v_q8 = jnp.concatenate(
+            [v4[..., :d], sk[..., None].astype(cd),
+             v4[..., d + 1:]], axis=-1).reshape(b, s, heads * _LANE)
+        kernel = functools.partial(_flash_hpacked_qk8_kernel, w=grid_w,
+                                   d=d)
         out = pl.pallas_call(
             kernel,
             grid=(b, heads, s // block_q, s // block_k),
@@ -872,10 +890,6 @@ def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
                              lambda b_, h_, i, j: (b_, j, h_)),
                 pl.BlockSpec((1, block_q, _LANE),
                              lambda b_, h_, i, j: (b_, i, h_)),
-                pl.BlockSpec((1, 1, block_q),
-                             lambda b_, h_, i, j: (b_, h_, i)),
-                pl.BlockSpec((1, 1, block_k),
-                             lambda b_, h_, i, j: (b_, h_, j)),
             ],
             out_specs=pl.BlockSpec((1, block_q, _LANE),
                                    lambda b_, h_, i, j: (b_, i, h_)),
@@ -890,7 +904,7 @@ def flash_attention_relpos_hpacked(qkv, rel_h, rel_w, *, scale: float,
                                      "arbitrary"),
                 vmem_limit_bytes=64 * 2 ** 20),
             interpret=interpret,
-        )(q8a, k8a, v_pad, qrw_pad, sq, sk)
+        )(q8a, k8a, v_q8, qrw_q8)
         return out.reshape(b, s, heads, _LANE)[..., :d].reshape(b, s, c)
 
     if quant8:

@@ -280,7 +280,9 @@ def test_relpos_hpacked_qk8_close_to_float(key):
     noise of the float hpacked kernel — the serving-mode guarantee for
     the LVV_Q8_SCOPE=...,qk path."""
     from lvv_tpu.ops.attention import flash_attention_relpos_hpacked
-    b, heads, gh, gw, d = 1, 2, 8, 128, 64
+    # grid_w 64 like the product SAM global shape (qk8 stashes its scales
+    # in qrw lane grid_w / v lane d, so it needs grid_w < 128 free lanes)
+    b, heads, gh, gw, d = 1, 2, 8, 64, 64
     s = gh * gw
     c = heads * d
     ks = jax.random.split(key, 3)

@@ -514,3 +514,33 @@ def test_engine_multi_groups(setup):
             max_new_tokens=NEW_TOKENS, eos_id=2)
         direct.append(np.asarray(toks)[0][:int(lens[0])].tolist())
     assert [g[0] for g in got] == direct
+
+
+@pytest.mark.fast
+def test_engine_multi_groups_u8_wire(setup):
+    """Raw uint8 frames through the multi path (preprocess inside the
+    resident program) answer identically to the single-batch path (which
+    preprocesses at dispatch)."""
+    cfg, model, params, reqs = setup
+    s = cfg.model.sam.img_size
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, (6, s, s, 3), dtype=np.uint8)
+    row = dict(bev=reqs[0]["bev"].astype(np.float16), images=u8,
+               view_valid=reqs[0]["view_valid"],
+               text_ids=reqs[0]["text_ids"], text_len=reqs[0]["text_len"])
+
+    def run(multi_groups, n):
+        eng = ServingEngine(model, params, max_batch=2, max_wait_ms=400.0,
+                            max_new_tokens=NEW_TOKENS, eos_id=2,
+                            multi_groups=multi_groups)
+        try:
+            futs = [eng.submit(**row) for _ in range(n)]
+            out = [f.result(timeout=300)[0] for f in futs]
+        finally:
+            eng.close()
+        return out, eng.stats()
+
+    single, _ = run(1, 2)
+    multi, st = run(2, 8)
+    assert 4 in st["batch_sizes"], st["batch_sizes"]   # a packed dispatch
+    assert all(m == single[0] for m in multi)
