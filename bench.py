@@ -121,7 +121,7 @@ def main():
     # per-dispatch host+relay cost (~10 ms/frame when dispatching frames
     # one by one, benchmarks/serving_gap_bisect.json) amortizes G-fold
     from lvv_tpu.models import greedy_generate_multi
-    g = ITERS
+    g = int(os.environ.get("LVV_BENCH_STREAM_G", "8"))
     stack = lambda x: jnp.stack([x] * g)
 
     def dispatch_multi():

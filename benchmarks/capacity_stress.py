@@ -107,18 +107,20 @@ def main() -> None:
     params = det.init(jax.random.PRNGKey(0),
                       jnp.asarray(uniform_cloud(rng, 2000, pr)),
                       jnp.int32(2000))
-    results = {}
-    for name, pts in [("surface", surface_cloud(rng, n, pr[3] * 0.98)),
-                      ("uniform", uniform_cloud(rng, n, pr))]:
-        sp.set_overflow_debug(True)
-        sp.reset_overflow_log()
-        t0 = time.time()
-        out = det.apply(params, jnp.asarray(pts), jnp.int32(n))
-        jax.block_until_ready(out["preds"])
-        results[name] = {"fwd_s": round(time.time() - t0, 1),
-                         "stages": sp.overflow_log()}
-        sp.set_overflow_debug(False)
-        print(name, json.dumps(results[name], indent=1), flush=True)
+    artifact = pathlib.Path(__file__).parent / "capacity_stress.json"
+    results = json.loads(artifact.read_text()) if artifact.exists() else {}
+    if plat.startswith("cpu"):   # telemetry needs host callbacks (no axon)
+        for name, pts in [("surface", surface_cloud(rng, n, pr[3] * 0.98)),
+                          ("uniform", uniform_cloud(rng, n, pr))]:
+            sp.set_overflow_debug(True)
+            sp.reset_overflow_log()
+            t0 = time.time()
+            out = det.apply(params, jnp.asarray(pts), jnp.int32(n))
+            jax.block_until_ready(out["preds"])
+            results[name] = {"fwd_s": round(time.time() - t0, 1),
+                             "stages": sp.overflow_log()}
+            sp.set_overflow_debug(False)
+            print(name, json.dumps(results[name], indent=1), flush=True)
 
     # ---- bucketed mode: exact host planner routes each cloud to the
     # smallest of 3 precompiled programs; NO voxel drops anywhere (incl.
@@ -143,19 +145,34 @@ def main() -> None:
             dcfg = dataclasses.replace(cfg.model.voxelnext,
                                        capacity_schedule=sched)
             dets[bi] = build_detector("VoxelNeXt", dcfg, vcfg)
-        sp.set_overflow_debug(True)
-        sp.reset_overflow_log()
+        # overflow telemetry needs host callbacks, which axon_pjrt does
+        # not support — on TPU the zero-drop claim rests on the planner's
+        # exact domination check (plan_capacity_demand is unit-tested
+        # EQUAL to live sparse_conv active counts,
+        # tests/test_sparse.py::test_plan_capacity_demand_exact)
+        use_telemetry = plat.startswith("cpu")
+        if use_telemetry:
+            sp.set_overflow_debug(True)
+            sp.reset_overflow_log()
         t0 = time.time()
         out = dets[bi].apply(params, jnp.asarray(pts), jnp.int32(n))
         jax.block_until_ready(out["preds"])
-        log = sp.overflow_log()
-        sp.set_overflow_debug(False)
-        dropped = {k: v for k, v in log.items() if v["dropped"] > 0}
-        results[f"bucketed_{name}"] = {
+        dominated = (demands[0] <= max_vox
+                     and all(d <= c for d, c in zip(demands[1], sched)))
+        row = {
             "bucket": bi, "plan_s": round(t_plan, 2),
             "demands": [demands[0], *demands[1]],
             "fwd_s": round(time.time() - t0, 1),
-            "dropped": dropped, "zero_drops": not dropped}
+            "planner_dominated": dominated}
+        if use_telemetry:
+            log = sp.overflow_log()
+            sp.set_overflow_debug(False)
+            dropped = {k: v for k, v in log.items() if v["dropped"] > 0}
+            row["dropped"] = dropped
+            row["zero_drops"] = not dropped
+        else:
+            row["zero_drops"] = dominated
+        results[f"bucketed_{name}"] = row
         print(f"bucketed_{name}",
               json.dumps(results[f"bucketed_{name}"], indent=1),
               flush=True)

@@ -117,22 +117,34 @@ def steps_soak(n_steps: int):
         logging.getLogger(name).addHandler(h)
         logging.getLogger(name).setLevel(logging.DEBUG)
 
-    from lvv_tpu.config import VQAConfig, load
+    from lvv_tpu.config import VQAConfig, load, override
     from lvv_tpu.parallel import shard_batch
     from lvv_tpu.train.trainer import Trainer
     from lvv_tpu.utils import enable_compile_cache
     enable_compile_cache()
     cfg = load(VQAConfig, str(cfg_path), [])
+    # flagship training memory envelope on one v5e: remat + batch 2
+    # (batch 4 without remat OOMs; train_step_bench.py measured the
+    # remat step at 343 ms/b1)
+    cfg = override(cfg, "model.remat", True)
+    cfg = override(cfg, "train.batch_size", 2)
     tr = Trainer(cfg)   # __init__ builds state + the jitted train step
 
-    def batch_stream():
+    def raw_stream():
         epoch = 0
         while True:
             for b in tr._batches(tr.train_idx, epoch):
-                yield shard_batch(b, tr.mesh)
+                yield b
             epoch += 1
 
-    stream = batch_stream()
+    # product-loop ingest: collate + device_put 2 batches ahead on a
+    # worker thread (data/prefetch.py) — without it the soak measures the
+    # ~33 MB/batch host->device upload through the axon relay (~0.8 s)
+    # instead of the device step
+    from lvv_tpu.data.prefetch import Prefetcher
+    stream = iter(Prefetcher(raw_stream(),
+                             prepare=lambda b: shard_batch(b, tr.mesh),
+                             depth=2))
     results = {"n_steps": n_steps}
     # step 1 (all compiles land here)
     t0 = time.time()

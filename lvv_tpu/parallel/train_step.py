@@ -38,6 +38,41 @@ def create_state(params, tx, rng) -> TrainState:
                       opt_state=tx.init(params), rng=rng)
 
 
+def commit_state(state: TrainState, mesh) -> TrainState:
+    """device_put every state leaf with an explicit NamedSharding so the
+    FIRST train-step call sees the same argument shardings every later
+    call does. Freshly-built states carry uncommitted host arrays that
+    compile with `UnspecifiedValue` argument mappings; the step's outputs
+    come back committed (NamedSharding), so step 2 used to trigger one
+    wasteful full recompile — identical avals, only the mapping changed
+    (caught by the 300-step soak: a 96 s recompile on the flagship).
+    Param-structured optimizer subtrees (adam moments) take their
+    parameter's sharding; everything else replicates."""
+    repl = NamedSharding(mesh, P())
+    p_def = jax.tree_util.tree_structure(state.params)
+    p_sh = jax.tree_util.tree_map(
+        lambda x: getattr(x, "sharding", repl), state.params)
+
+    def params_like(n):
+        try:
+            return jax.tree_util.tree_structure(n) == p_def
+        except Exception:
+            return False
+
+    def place(n):
+        if params_like(n):
+            return jax.tree_util.tree_map(jax.device_put, n, p_sh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), n)
+
+    return TrainState(
+        step=jax.device_put(state.step, repl),
+        params=state.params,
+        opt_state=jax.tree_util.tree_map(place, state.opt_state,
+                                         is_leaf=params_like),
+        rng=jax.device_put(state.rng, repl))
+
+
 def make_train_step(model, tx, mesh, donate: bool = True):
     """Returns a jit'd `(state, batch) -> (state, metrics)` with the batch
     sharded over the data axis and state placed per sharding rules."""

@@ -30,7 +30,8 @@ from ..config.schema import VQAConfig
 from ..data import Collator, DeterministicSampler, MixedNuDataset, \
     load_tokenizer, split_rows
 from ..models import VQAModel, greedy_generate
-from ..parallel import (TrainState, create_state, make_mesh, make_eval_step,
+from ..parallel import (TrainState, commit_state, create_state,
+                        make_mesh, make_eval_step,
                         make_train_step, shard_batch, shard_params)
 from ..utils import AverageMeter, Tee, get_tracer, log0, seed_all
 from .checkpoints import CheckpointManager
@@ -131,7 +132,10 @@ class Trainer:
         if restored is not None:
             state = restored
             log0(f"[trainer] resumed from step {step}")
-        self.state = state
+        # explicit shardings on every state leaf: an uncommitted fresh
+        # state costs one full extra train-step recompile at step 2
+        # (parallel/train_step.py::commit_state)
+        self.state = commit_state(state, self.mesh)
         self.start_step = int(step)
         self.train_step = make_train_step(self.model, self.tx, self.mesh)
         self.eval_step = make_eval_step(self.model, self.mesh)
