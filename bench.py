@@ -85,9 +85,12 @@ def main():
         # scan-carry dtype fix, the e2e A/B measures 6.57 vs 5.96 frames/s
         # (the r2 "int8 decode loses" verdict was the old formulation, and
         # the post-fix path crashed before it could ever be timed).
-        if os.environ.get("LVV_BENCH_DECODE_FUSED", "0") == "1":
+        if os.environ.get("LVV_BENCH_DECODE_FUSED", "1") == "1":
             # packed-matmul decode engine (models/decode_fused.py):
-            # 4 matmuls/layer instead of 7, token-identical (tested)
+            # 4 matmuls/layer instead of 7, token-identical (tested).
+            # Default since r5: 6.896 vs 6.857 frames/s and the best p50
+            # (0.176 s) once the pack stopped shipping beside a dead
+            # quantized tree (BASELINE.md round-5 A/B rows)
             from lvv_tpu.models import prepare_serving_params_fused
             params_decode = jax.device_put(
                 prepare_serving_params_fused(model, params))

@@ -71,13 +71,17 @@ def uniform_cloud(rng, n: int, pr) -> np.ndarray:
 
 
 # 3 precompiled capacity buckets (max_voxels, per-stage schedule) for the
-# bucketed zero-drop mode: typical nuScenes clouds / dense scenes / the
-# i.i.d.-uniform adversarial bound (stage-1 demand ~511k measured). The
-# exact host planner (ops.sparse.plan_capacity_demand) picks per cloud.
+# bucketed zero-drop mode: typical nuScenes clouds / realistic-max surface
+# scenes / the i.i.d.-uniform adversarial bound. Sized from the EXACT host
+# planner's measured demands (this file's own earlier run: surface 244k
+# voxels -> stage demands 413k/208k/53k/14k/3.4k; uniform 299k -> 948k/
+# 893k/162k/24k/4.1k — note stride-2 EXPANDS an i.i.d. active set ~3x).
+# plan_capacity_demand picks per cloud; the old 511k stage-1 figure was
+# measured downstream of a TRUNCATED 160k voxelizer, not the true demand.
 BUCKETS = (
     (160000, (120000, 60000, 30000, 15000, 8000)),
-    (300000, (330000, 180000, 90000, 45000, 24000)),
-    (310000, (560000, 300000, 160000, 80000, 40000)),
+    (300000, (430000, 220000, 60000, 16000, 4000)),
+    (310000, (960000, 900000, 176000, 28000, 5200)),
 )
 
 

@@ -90,9 +90,14 @@ def main():
                 # weight-only int8 decode tree: default ON since round 5
                 # (see bench.py — 6.57 vs 5.96 frames/s at B=1 after the
                 # formulation + scan-carry fixes)
-                from lvv_tpu.models import prepare_serving_params
-                globals()["_pq"] = jax.device_put(
-                    prepare_serving_params(params))
+                if os.environ.get("LVV_BENCH_DECODE_FUSED", "0") == "1":
+                    from lvv_tpu.models import prepare_serving_params_fused
+                    globals()["_pq"] = jax.device_put(
+                        prepare_serving_params_fused(model, params))
+                else:
+                    from lvv_tpu.models import prepare_serving_params
+                    globals()["_pq"] = jax.device_put(
+                        prepare_serving_params(params))
 
         # LVV_BENCH_SEQ_FROM: batch size at which the memory-lean
         # sequential/chunked-view encode takes over (engine modes keep TWO

@@ -169,14 +169,24 @@ class ContinuousServingEngine:
         p_dec = (self.params if self.params_decode is None
                  else self.params_decode)
 
+        fused = (self.params_decode is not None
+                 and "_fused_decode" in self.params_decode)
+
         def decode_chunk(params_dec, slab, last_logits, done):
             def body(state, _):
                 logits, cache, done = state
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 nxt = jnp.where(done, eos, nxt)
-                logits, cache = model.apply(
-                    {"params": params_dec}, nxt, cache,
-                    method=VQAModel.decode_step)
+                if fused:   # packed-matmul engine (models/decode_fused.py)
+                    from ..models.decode_fused import fused_decode_step
+                    logits, cache = fused_decode_step(
+                        model.cfg.llm, model.dtype,
+                        params_dec["_fused_decode"], nxt, cache)
+                    logits = logits.astype(last_logits.dtype)
+                else:
+                    logits, cache = model.apply(
+                        {"params": params_dec}, nxt, cache,
+                        method=VQAModel.decode_step)
                 done = done | (nxt == eos)
                 return (logits, cache, done), nxt
 

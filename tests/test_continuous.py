@@ -182,3 +182,28 @@ def test_rejects_sensorless_submit(setup):
                        reqs[0]["text_len"])
     finally:
         eng.close()
+
+
+@pytest.mark.fast
+def test_continuous_fused_decode_tree(setup):
+    """ContinuousServingEngine accepts the packed fused-decode tree and
+    still answers token-identically to the fused generate path."""
+    from lvv_tpu.models import greedy_generate, prepare_serving_params_fused
+    cfg, model, params, reqs = setup
+    pf = prepare_serving_params_fused(model, params)
+    r = reqs[0]
+    eng = ContinuousServingEngine(model, params, slots=2, chunk_steps=2,
+                                  max_new_tokens=NEW_TOKENS, eos_id=2,
+                                  params_decode=pf)
+    try:
+        got = eng.submit(r["bev"], r["images"], r["view_valid"],
+                         r["text_ids"], r["text_len"]).result(300)[0]
+    finally:
+        eng.close()
+    toks, lens = greedy_generate(
+        model, params, jnp.asarray(r["bev"])[None],
+        jnp.asarray(r["images"])[None], jnp.asarray(r["view_valid"])[None],
+        jnp.asarray(r["text_ids"])[None],
+        jnp.full((1,), r["text_len"], jnp.int32),
+        max_new_tokens=NEW_TOKENS, eos_id=2, params_decode=pf)
+    assert got == np.asarray(toks)[0][: int(lens[0])].tolist()
